@@ -1,0 +1,339 @@
+"""Planar-graph polygonization + coverage labelling (exact, from scratch).
+
+Turns a noded, labelled segment set (output of rogray.geom.noding) into the
+faces of its arrangement — the engine's analogue of the reference's PostGIS
+topology face set (edge_data/node/face tables built by
+topology.TopoGeo_addLinestring; face geometry via ST_GetFaceGeometry,
+function_01_get_face_geo_geo.sql).
+
+Algorithm (all exact integer arithmetic, deterministic):
+1. half-edge structure; outgoing edges CCW-sorted per node; next(e) =
+   clockwise-neighbour of twin(e) -> each traced cycle has its region on
+   the LEFT; in a connected component every bounded face is one positive
+   cycle and the component hull is the single negative cycle.
+2. component nesting by exact downward ray casts from each component's
+   bottom vertex (no floating point, no epsilon).
+3. polygon-coverage sets per region by flood fill across segments using
+   the (poly_id, side) labels — crossing a segment toggles exactly the
+   polygons whose boundary it carries.  This replaces JT7's
+   area-of-intersection coverage join (cell.sql:833-873) with an exact
+   combinatorial computation: every face of the arrangement is covered
+   0% or 100% by each input polygon.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Face:
+    cycle: int                      # positive-cycle id (shell)
+    shell: np.ndarray               # (N,2) int ring, CCW
+    holes: list[np.ndarray]         # (N,2) int rings, CW
+    area2: int                      # 2*shell area minus holes (grid units)
+    cov: frozenset                  # poly ids covering this face
+    touches: frozenset              # all label poly ids on the boundary
+    boundary_segs: list[int] = field(default_factory=list)  # segment indices
+
+
+UNIVERSE = -2
+
+
+@dataclass
+class Arrangement:
+    segs: np.ndarray                # (M,4) canonical noded segments
+    labels: list[frozenset]
+    faces: list[Face]
+    cycle_left: np.ndarray          # cycle id left of canonical dir, per segment
+    cycle_right: np.ndarray         # cycle id right of canonical dir
+    cycle_cov: dict[int, frozenset]
+    cycle_area2: dict[int, int]
+    universe_cycles: set[int]       # cycles whose region is the global universe
+    region_of: dict[int, int]       # cycle id -> region id (face cycle or UNIVERSE)
+
+
+def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
+    segs = np.asarray(segs, dtype=np.int64).reshape(-1, 4)
+    n = len(segs)
+    if n == 0:
+        return Arrangement(segs, [], [], np.empty(0, np.int64), np.empty(0, np.int64), {}, {}, set(), {})
+
+    # ---- prune dangles (degree-1 chains) -------------------------------
+    alive = np.ones(n, dtype=bool)
+    pts = np.concatenate([segs[:, :2], segs[:, 2:]])
+    uniq_pts, inv = np.unique(pts, axis=0, return_inverse=True)
+    u_node = inv[:n]
+    v_node = inv[n:]
+    while True:
+        deg = np.zeros(len(uniq_pts), dtype=np.int64)
+        np.add.at(deg, u_node[alive], 1)
+        np.add.at(deg, v_node[alive], 1)
+        bad = alive & ((deg[u_node] <= 1) | (deg[v_node] <= 1))
+        if not bad.any():
+            break
+        alive &= ~bad
+    if not alive.any():
+        return Arrangement(segs, labels, [], np.empty(0, np.int64), np.empty(0, np.int64), {}, {}, set(), {})
+    keep_idx = np.flatnonzero(alive)
+    segs = segs[keep_idx]
+    labels = [labels[i] for i in keep_idx]
+    n = len(segs)
+    pts = np.concatenate([segs[:, :2], segs[:, 2:]])
+    uniq_pts, inv = np.unique(pts, axis=0, return_inverse=True)
+    u_node = inv[:n]
+    v_node = inv[n:]
+
+    # ---- half edges -----------------------------------------------------
+    # directed edge 2i = u->v (canonical), 2i+1 = v->u
+    e_orig = np.empty(2 * n, dtype=np.int64)
+    e_dest = np.empty(2 * n, dtype=np.int64)
+    e_orig[0::2], e_dest[0::2] = u_node, v_node
+    e_orig[1::2], e_dest[1::2] = v_node, u_node
+    dx = np.empty(2 * n, dtype=np.int64)
+    dy = np.empty(2 * n, dtype=np.int64)
+    dx[0::2] = segs[:, 2] - segs[:, 0]
+    dy[0::2] = segs[:, 3] - segs[:, 1]
+    dx[1::2] = -dx[0::2]
+    dy[1::2] = -dy[0::2]
+    ang = np.arctan2(dy.astype(np.float64), dx.astype(np.float64))
+
+    order = np.lexsort((ang, e_orig))
+    # for each node: contiguous run in `order`
+    starts = np.flatnonzero(np.r_[True, e_orig[order][1:] != e_orig[order][:-1]])
+    ends = np.r_[starts[1:], len(order)]
+    node_run_start = np.zeros(len(uniq_pts), dtype=np.int64)
+    node_run_end = np.zeros(len(uniq_pts), dtype=np.int64)
+    for s, e in zip(starts, ends):
+        node_run_start[e_orig[order[s]]] = s
+        node_run_end[e_orig[order[s]]] = e
+    pos_in_run = np.empty(2 * n, dtype=np.int64)
+    pos_in_run[order] = np.arange(len(order))
+
+    def next_edge(e: int) -> int:
+        r = e ^ 1  # twin, outgoing from dest(e)
+        node = e_orig[r]
+        s, t = node_run_start[node], node_run_end[node]
+        p = pos_in_run[r]
+        p2 = t - 1 if p == s else p - 1  # CW neighbour of twin in CCW order
+        return int(order[p2])
+
+    # ---- trace cycles ---------------------------------------------------
+    cycle_of = np.full(2 * n, -1, dtype=np.int64)
+    cycles_edges: list[list[int]] = []
+    for e0 in range(2 * n):
+        if cycle_of[e0] != -1:
+            continue
+        cid = len(cycles_edges)
+        path = []
+        e = e0
+        while cycle_of[e] == -1:
+            cycle_of[e] = cid
+            path.append(e)
+            e = next_edge(e)
+        cycles_edges.append(path)
+
+    # cycle signed areas (exact)
+    cycle_area2: dict[int, int] = {}
+    for cid, path in enumerate(cycles_edges):
+        xs = uniq_pts[e_orig[path], 0].astype(object)
+        ys = uniq_pts[e_orig[path], 1].astype(object)
+        x0, y0 = xs[0], ys[0]
+        a = 0
+        for k in range(len(path)):
+            k2 = (k + 1) % len(path)
+            a += (xs[k] - x0) * (ys[k2] - y0) - (xs[k2] - x0) * (ys[k] - y0)
+        cycle_area2[cid] = a
+
+    # ---- connected components ------------------------------------------
+    parent = np.arange(len(uniq_pts))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        a, b = find(int(u_node[i])), find(int(v_node[i]))
+        if a != b:
+            parent[a] = b
+    comp_of_node = np.array([find(int(i)) for i in range(len(uniq_pts))])
+    comp_ids = np.unique(comp_of_node)
+    comp_index = {int(c): k for k, c in enumerate(comp_ids)}
+    seg_comp = np.array([comp_index[int(comp_of_node[u_node[i]])] for i in range(n)])
+    cycle_comp = {}
+    for cid, path in enumerate(cycles_edges):
+        cycle_comp[cid] = comp_index[int(comp_of_node[e_orig[path[0]]])]
+
+    ncomp = len(comp_ids)
+    # hull cycle per component = most negative cycle
+    hull_of_comp = [-1] * ncomp
+    hull_area = [1] * ncomp
+    for cid, a2 in cycle_area2.items():
+        c = cycle_comp[cid]
+        if hull_of_comp[c] == -1 or a2 < hull_area[c]:
+            hull_of_comp[c] = cid
+            hull_area[c] = a2
+
+    # ---- component nesting via exact downward ray casts -----------------
+    # bottom vertex per component
+    comp_bottom = np.full(ncomp, -1, dtype=np.int64)
+    key = uniq_pts[:, 1].astype(np.int64) * (1 << 30) + uniq_pts[:, 0]
+    for nd in np.lexsort((uniq_pts[:, 0], uniq_pts[:, 1]))[::-1]:
+        comp_bottom[comp_index[int(comp_of_node[nd])]] = nd
+    containing_cycle = [-1] * ncomp  # cycle whose region contains this component
+    if ncomp > 1:
+        sx1, sy1, sx2, sy2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+        for c in range(ncomp):
+            v = uniq_pts[comp_bottom[c]]
+            qx, qy = int(v[0]), int(v[1])
+            straddle = ((sx1 <= qx) & (qx < sx2)) | ((sx2 <= qx) & (qx < sx1))
+            cand = np.flatnonzero(straddle & (seg_comp != c))
+            best = -1
+            bn = bd = 0  # best crossing y as fraction bn/bd (bd>0)
+            for i in cand.tolist():
+                x1, y1, x2, y2 = int(sx1[i]), int(sy1[i]), int(sx2[i]), int(sy2[i])
+                den = x2 - x1  # canonical => x1 < x2 here (non-vertical straddler)
+                num = y1 * den + (qx - x1) * (y2 - y1)
+                # strictly below q: num/den < qy
+                if num >= qy * den:
+                    continue
+                if best == -1 or num * bd > bn * den:  # nearest = max y
+                    best, bn, bd = i, num, den
+            if best != -1:
+                containing_cycle[c] = int(cycle_of[2 * best])  # upper side
+    # resolve containment to faces + universe set
+    universe_cycles: set[int] = set()
+    for c in range(ncomp):
+        if containing_cycle[c] == -1:
+            universe_cycles.add(hull_of_comp[c])
+    # iterate: a hull contained in a universe-region hull is itself bounding universe-adjacent region?
+    # (hull H of comp K bounds K's outside. If containing cycle of K is a hull in universe set,
+    #  K floats in the universe -> K's hull also bounds universe.)
+    changed = True
+    while changed:
+        changed = False
+        for c in range(ncomp):
+            cc = containing_cycle[c]
+            if cc != -1 and cc in universe_cycles and hull_of_comp[c] not in universe_cycles:
+                universe_cycles.add(hull_of_comp[c])
+                changed = True
+
+    # ---- coverage flood fill -------------------------------------------
+    # order components by dependency: containing component first
+    cycle_cov: dict[int, frozenset] = {}
+    comp_order: list[int] = []
+    state = [0] * ncomp
+
+    def comp_of_cycle(cid: int) -> int:
+        return cycle_comp[cid]
+
+    def visit(c: int) -> None:
+        if state[c] == 1:
+            return
+        state[c] = 1
+        cc = containing_cycle[c]
+        if cc != -1:
+            visit(comp_of_cycle(cc))
+        comp_order.append(c)
+
+    for c in range(ncomp):
+        visit(c)
+
+    # segment adjacency lists per component
+    segs_by_comp: list[list[int]] = [[] for _ in range(ncomp)]
+    for i in range(n):
+        segs_by_comp[seg_comp[i]].append(i)
+
+    for c in comp_order:
+        cc = containing_cycle[c]
+        outside = frozenset() if cc == -1 else cycle_cov[cc]
+        hull = hull_of_comp[c]
+        cov = {hull: outside}
+        # BFS across segments
+        stack = [hull]
+        cyc_segs: dict[int, list[int]] = {}
+        for i in segs_by_comp[c]:
+            cyc_segs.setdefault(int(cycle_of[2 * i]), []).append(i)
+            cyc_segs.setdefault(int(cycle_of[2 * i + 1]), []).append(i)
+        while stack:
+            cur = stack.pop()
+            for i in cyc_segs.get(cur, ()):
+                left = int(cycle_of[2 * i])
+                right = int(cycle_of[2 * i + 1])
+                add_left = {p for p, s in labels[i] if s == 1}
+                add_right = {p for p, s in labels[i] if s == -1}
+                both = add_left & add_right
+                add_left -= both
+                add_right -= both
+                if left == cur and right not in cov:
+                    cov[right] = frozenset((cov[left] - add_left) | add_right)
+                    stack.append(right)
+                elif right == cur and left not in cov:
+                    cov[left] = frozenset((cov[right] - add_right) | add_left)
+                    stack.append(left)
+        cycle_cov.update(cov)
+
+    # ---- assemble faces -------------------------------------------------
+    def cycle_ring(cid: int) -> np.ndarray:
+        path = cycles_edges[cid]
+        return uniq_pts[e_orig[path]].astype(np.int64)
+
+    # map hull -> owning face cycle (resolve through sibling hulls)
+    def owner_face_cycle(c: int) -> int:
+        seen = set()
+        cur = c
+        while True:
+            cc = containing_cycle[cur]
+            if cc == -1:
+                return -1
+            if cycle_area2[cc] > 0:
+                return cc
+            nxt = comp_of_cycle(cc)
+            if nxt in seen:
+                return -1
+            seen.add(nxt)
+            cur = nxt
+
+    holes_of: dict[int, list[int]] = {}
+    for c in range(ncomp):
+        oc = owner_face_cycle(c)
+        if oc != -1:
+            holes_of.setdefault(oc, []).append(hull_of_comp[c])
+
+    faces: list[Face] = []
+    cycle_left = cycle_of[0::2].copy()
+    cycle_right = cycle_of[1::2].copy()
+    seg_lists: dict[int, list[int]] = {}
+    for i in range(n):
+        seg_lists.setdefault(int(cycle_left[i]), []).append(i)
+        seg_lists.setdefault(int(cycle_right[i]), []).append(i)
+    for cid, a2 in cycle_area2.items():
+        if a2 <= 0:
+            continue
+        shell = cycle_ring(cid)
+        hole_cycles = holes_of.get(cid, [])
+        holes = [cycle_ring(h) for h in hole_cycles]
+        area2 = a2 + sum(cycle_area2[h] for h in hole_cycles)
+        bsegs = list(seg_lists.get(cid, []))
+        for h in hole_cycles:
+            bsegs.extend(seg_lists.get(h, []))
+        cov = cycle_cov.get(cid, frozenset())
+        touches = frozenset(p for i in bsegs for p, _ in labels[i])
+        faces.append(Face(cid, shell, holes, area2, cov, touches, bsegs))
+
+    # region id per cycle: positive cycles are their own region; a negative
+    # hull's region is the face owning its component (or the universe)
+    region_of: dict[int, int] = {}
+    for cid, a2 in cycle_area2.items():
+        if a2 > 0:
+            region_of[cid] = cid
+    for c in range(ncomp):
+        h = hull_of_comp[c]
+        oc = owner_face_cycle(c)
+        region_of[h] = oc if oc != -1 else UNIVERSE
+
+    return Arrangement(segs, labels, faces, cycle_left, cycle_right, cycle_cov, cycle_area2, universe_cycles, region_of)

@@ -1,0 +1,120 @@
+"""Minimal WKB/EWKB codec (2D Point / LineString / Polygon / MultiPolygon).
+
+From-scratch implementation of the OGC WKB wire format (public spec); no
+GEOS/shapely in this environment.  Rings are returned as (N, 2) float64
+arrays WITHOUT the repeated closing vertex (closed on encode).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+POINT, LINESTRING, POLYGON, MULTIPOINT, MULTILINESTRING, MULTIPOLYGON = 1, 2, 3, 4, 5, 6
+_SRID_FLAG = 0x20000000
+_Z_FLAG = 0x80000000
+_M_FLAG = 0x40000000
+
+
+class WkbError(ValueError):
+    pass
+
+
+def _read_header(buf: memoryview, off: int) -> tuple[str, int, int]:
+    bo = "<" if buf[off] == 1 else ">"
+    (gtype,) = struct.unpack_from(bo + "I", buf, off + 1)
+    off += 5
+    if gtype & (_Z_FLAG | _M_FLAG):
+        raise WkbError("only 2D geometries supported")
+    if gtype & _SRID_FLAG:
+        off += 4  # skip SRID (EWKB)
+        gtype &= ~_SRID_FLAG
+    return bo, gtype, off
+
+
+def _read_coords(buf: memoryview, off: int, n: int, bo: str) -> tuple[np.ndarray, int]:
+    arr = np.frombuffer(buf, dtype=("<f8" if bo == "<" else ">f8"), count=2 * n, offset=off)
+    return arr.reshape(n, 2).astype(np.float64), off + 16 * n
+
+
+def decode(wkb: bytes) -> tuple[int, list[list[np.ndarray]]]:
+    """Decode WKB -> (geom_type, parts).
+
+    parts layout: Point -> [[ (1,2) ]], LineString -> [[ (N,2) ]],
+    Polygon -> [[ring0, ring1, ...]], MultiPolygon -> [poly0_rings, ...].
+    Polygon rings have the closing vertex stripped.
+    """
+    buf = memoryview(wkb)
+    bo, gtype, off = _read_header(buf, 0)
+    if gtype == POINT:
+        xy, _ = _read_coords(buf, off, 1, bo)
+        return POINT, [[xy]]
+    if gtype == LINESTRING:
+        (n,) = struct.unpack_from(bo + "I", buf, off)
+        xy, _ = _read_coords(buf, off + 4, n, bo)
+        return LINESTRING, [[xy]]
+    if gtype == POLYGON:
+        rings, _ = _read_polygon_body(buf, off, bo)
+        return POLYGON, [rings]
+    if gtype == MULTIPOLYGON:
+        (np_, ) = struct.unpack_from(bo + "I", buf, off)
+        off += 4
+        polys = []
+        for _ in range(np_):
+            bo2, gt2, off = _read_header(buf, off)
+            if gt2 != POLYGON:
+                raise WkbError("MultiPolygon member is not a Polygon")
+            rings, off = _read_polygon_body(buf, off, bo2)
+            polys.append(rings)
+        return MULTIPOLYGON, polys
+    raise WkbError(f"unsupported geometry type {gtype}")
+
+
+def _read_polygon_body(buf: memoryview, off: int, bo: str) -> tuple[list[np.ndarray], int]:
+    (nrings,) = struct.unpack_from(bo + "I", buf, off)
+    off += 4
+    rings = []
+    for _ in range(nrings):
+        (n,) = struct.unpack_from(bo + "I", buf, off)
+        xy, off = _read_coords(buf, off + 4, n, bo)
+        if n >= 2 and xy[0, 0] == xy[-1, 0] and xy[0, 1] == xy[-1, 1]:
+            xy = xy[:-1]
+        rings.append(xy)
+    return rings, off
+
+
+def decode_polygon_rings(wkb: bytes) -> list[np.ndarray]:
+    """All rings of a Polygon/MultiPolygon, exterior(s) first per polygon."""
+    gtype, parts = decode(wkb)
+    if gtype == POLYGON:
+        return parts[0]
+    if gtype == MULTIPOLYGON:
+        return [r for poly in parts for r in poly]
+    raise WkbError(f"expected polygonal geometry, got type {gtype}")
+
+
+def encode_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, POINT, x, y)
+
+
+def encode_linestring(xy: np.ndarray) -> bytes:
+    xy = np.asarray(xy, dtype="<f8")
+    return struct.pack("<BII", 1, LINESTRING, len(xy)) + xy.tobytes()
+
+
+def _ring_bytes(ring: np.ndarray) -> bytes:
+    ring = np.asarray(ring, dtype="<f8")
+    if len(ring) == 0 or (ring[0] != ring[-1]).any():
+        ring = np.vstack([ring, ring[:1]])
+    return struct.pack("<I", len(ring)) + ring.tobytes()
+
+
+def encode_polygon(rings: list[np.ndarray]) -> bytes:
+    body = b"".join(_ring_bytes(r) for r in rings)
+    return struct.pack("<BII", 1, POLYGON, len(rings)) + body
+
+
+def encode_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
+    body = b"".join(encode_polygon(rings) for rings in polys)
+    return struct.pack("<BII", 1, MULTIPOLYGON, len(polys)) + body
