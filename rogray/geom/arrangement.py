@@ -37,6 +37,18 @@ class TileFace:
     area2: int                       # 2 * area in px^2
     ledger: list[tuple[int, frozenset]]  # [(area2, cov w/o TILE_ID)]
     touches_border: bool             # boundary lies partly on the tile rect
+    cov: frozenset = frozenset()     # the face's own covering set (w/o TILE_ID)
+    touches: frozenset = frozenset() # real poly ids on the boundary
+    masks: list[np.ndarray] | None = None  # per ring: 1 where the edge is pure tile border
+
+
+def _ring_masks(face, labels) -> list[np.ndarray]:
+    tile_only = lambda i: 1 if all(p == TILE_ID for p, _ in labels[i]) else 0
+    out = []
+    segidx = [face.shell_seg] + list(face.holes_seg)
+    for arr in segidx:
+        out.append(np.asarray([tile_only(int(i)) for i in arr], dtype=np.uint8))
+    return out
 
 
 def normalize_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
@@ -120,16 +132,22 @@ def overlay_tile(
 
     kept = [f for f in arr.faces if TILE_ID in f.cov]
     if min_area2_px and kept:
-        return _merge_small_faces(arr, kept, min_area2_px, area2_fn)
-    return [
-        TileFace(
-            [f.shell] + f.holes,
-            f.area2,
-            [(f.area2, f.cov - {TILE_ID})],
-            TILE_ID in f.touches,
-        )
-        for f in kept
-    ]
+        out = _merge_small_faces(arr, kept, min_area2_px, area2_fn)
+    else:
+        out = [
+            TileFace(
+                [f.shell] + f.holes,
+                f.area2,
+                [(f.area2, f.cov - {TILE_ID})],
+                TILE_ID in f.touches,
+                f.cov - {TILE_ID},
+                f.touches - {TILE_ID},
+                _ring_masks(f, arr.labels),
+            )
+            for f in kept
+        ]
+    heal_border_touch_vertices(out, arr, tile_bounds)
+    return out
 
 
 def _face_measure(f_rings: list[np.ndarray], area2_fn) -> float:
@@ -256,12 +274,82 @@ def _merge_small_faces(
             continue  # universe / non-kept region
         led = ledgers[gid]
         area2 = sum(a for a, _ in led)
+        absorber = face_by_cycle.get(gid)
+        cov = (absorber.cov - {TILE_ID}) if absorber else frozenset()
         out.append(
             TileFace(
                 [nf.shell] + nf.holes,
                 area2,
                 led,
                 TILE_ID in nf.touches,
+                cov,
+                nf.touches - {TILE_ID},
+                _ring_masks(nf, arr2.labels),
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# artifact-vertex healing (the engine's do_healedges analogue,
+# function_01_do_healedges_no_block.sql:1-127): degree-2 vertices introduced
+# by tile borders are removed so output geometry is independent of tiling.
+# ---------------------------------------------------------------------------
+
+
+def _near_collinear(a: np.ndarray, v: np.ndarray, b: np.ndarray) -> bool:
+    """v within ~0.75 px of segment a-b (the max deviation a snap-rounded
+    tile-border split can introduce, plus slack)."""
+    cr = float((int(v[0]) - int(a[0])) * (int(b[1]) - int(a[1]))
+               - (int(v[1]) - int(a[1])) * (int(b[0]) - int(a[0])))
+    ab = float(np.hypot(float(b[0] - a[0]), float(b[1] - a[1])))
+    return ab > 0 and abs(cr) <= 0.75 * ab
+
+
+def heal_border_touch_vertices(
+    faces: list[TileFace],
+    arr: polygonize.Arrangement,
+    bounds: tuple[int, int, int, int],
+) -> None:
+    """Remove ring vertices where a real edge touches (not crosses) the tile
+    border: the vertex lies on the border line, exactly 2 real segments meet
+    there, and they are near-collinear.  Both faces adjacent to the edge
+    apply the same rule, so shared edges stay identical."""
+    x0, y0, x1, y1 = bounds
+    deg_real: dict[tuple[int, int], int] = {}
+    for i in range(len(arr.segs)):
+        if all(p == TILE_ID for p, _ in arr.labels[i]):
+            continue
+        s = arr.segs[i]
+        for pt in ((int(s[0]), int(s[1])), (int(s[2]), int(s[3]))):
+            deg_real[pt] = deg_real.get(pt, 0) + 1
+
+    def on_border(p):
+        return p[0] == x0 or p[0] == x1 or p[1] == y0 or p[1] == y1
+
+    for f in faces:
+        new_rings, new_masks = [], []
+        for k, r in enumerate(f.rings):
+            m = f.masks[k] if f.masks else np.zeros(len(r), dtype=np.uint8)
+            changed = True
+            r = r.copy()
+            m = m.copy()
+            while changed and len(r) > 3:
+                changed = False
+                for i in range(len(r)):
+                    v = (int(r[i, 0]), int(r[i, 1]))
+                    if not on_border(v) or deg_real.get(v, 0) != 2:
+                        continue
+                    if m[i - 1] or m[i]:
+                        continue  # incident edge runs along the border
+                    a = r[i - 1]
+                    b = r[(i + 1) % len(r)]
+                    if _near_collinear(a, r[i], b):
+                        r = np.delete(r, i, axis=0)
+                        m = np.delete(m, i)
+                        changed = True
+                        break
+            new_rings.append(r)
+            new_masks.append(m)
+        f.rings = new_rings
+        f.masks = new_masks

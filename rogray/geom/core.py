@@ -142,3 +142,56 @@ def point_in_polygon(qx: int, qy: int, rings: list[np.ndarray]) -> bool:
     for r in rings:
         c += point_in_ring_crossings(qx, qy, r)
     return bool(c & 1)
+
+
+def ring_is_simple(ring: np.ndarray) -> bool:
+    """True if no two non-adjacent ring segments intersect (exact, O(k^2)).
+
+    The engine's input-validity check — the reference flags outputs touching
+    invalid inputs via ST_IsValid (function_resolve_overlap_gap_post.sql:48-59).
+    """
+    r = np.asarray(ring, dtype=np.int64)
+    k = len(r)
+    if k < 3:
+        return False
+    a = r
+    b = np.roll(r, -1, axis=0)
+    ii, jj = np.triu_indices(k, k=1)
+    adjacent = (jj - ii == 1) | ((ii == 0) & (jj == k - 1))
+    ii, jj = ii[~adjacent], jj[~adjacent]
+    if len(ii) == 0:
+        return True
+    p1, p2 = a[ii], b[ii]
+    q1, q2 = a[jj], b[jj]
+
+    def orient(o, p, q):
+        return np.sign(
+            (p[:, 0] - o[:, 0]) * (q[:, 1] - o[:, 1])
+            - (p[:, 1] - o[:, 1]) * (q[:, 0] - o[:, 0])
+        )
+
+    d1 = orient(p1, p2, q1)
+    d2 = orient(p1, p2, q2)
+    d3 = orient(q1, q2, p1)
+    d4 = orient(q1, q2, p2)
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    if proper.any():
+        return False
+
+    def on_seg(o, p, q):
+        # q collinear with o-p and within bbox
+        col = (
+            (p[:, 0] - o[:, 0]) * (q[:, 1] - o[:, 1])
+            - (p[:, 1] - o[:, 1]) * (q[:, 0] - o[:, 0])
+        ) == 0
+        inx = (np.minimum(o[:, 0], p[:, 0]) <= q[:, 0]) & (q[:, 0] <= np.maximum(o[:, 0], p[:, 0]))
+        iny = (np.minimum(o[:, 1], p[:, 1]) <= q[:, 1]) & (q[:, 1] <= np.maximum(o[:, 1], p[:, 1]))
+        return col & inx & iny
+
+    touch = (
+        on_seg(p1, p2, q1)
+        | on_seg(p1, p2, q2)
+        | on_seg(q1, q2, p1)
+        | on_seg(q1, q2, p2)
+    )
+    return not touch.any()

@@ -37,6 +37,8 @@ class Face:
     cov: frozenset                  # poly ids covering this face
     touches: frozenset              # all label poly ids on the boundary
     boundary_segs: list[int] = field(default_factory=list)  # segment indices
+    shell_seg: np.ndarray | None = None   # segment index per shell edge (ring-aligned)
+    holes_seg: list[np.ndarray] = field(default_factory=list)
 
 
 UNIVERSE = -2
@@ -282,6 +284,10 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
         path = cycles_edges[cid]
         return uniq_pts[e_orig[path]].astype(np.int64)
 
+    def cycle_seg_idx(cid: int) -> np.ndarray:
+        # segment index of the edge leaving each ring vertex (ring-aligned)
+        return np.asarray([e >> 1 for e in cycles_edges[cid]], dtype=np.int64)
+
     # map hull -> owning face cycle (resolve through sibling hulls)
     def owner_face_cycle(c: int) -> int:
         seen = set()
@@ -323,7 +329,12 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
             bsegs.extend(seg_lists.get(h, []))
         cov = cycle_cov.get(cid, frozenset())
         touches = frozenset(p for i in bsegs for p, _ in labels[i])
-        faces.append(Face(cid, shell, holes, area2, cov, touches, bsegs))
+        faces.append(
+            Face(
+                cid, shell, holes, area2, cov, touches, bsegs,
+                cycle_seg_idx(cid), [cycle_seg_idx(h) for h in hole_cycles],
+            )
+        )
 
     # region id per cycle: positive cycles are their own region; a negative
     # hull's region is the face owning its component (or the universe)

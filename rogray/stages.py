@@ -1,0 +1,578 @@
+"""Ray Data stages of the resolve-overlap-and-gap pipeline.
+
+Stage graph (pipelines/resolve.py wires these together):
+
+    read_parquet(documents)
+      -> Unwrap            map_batches actor pool: spans -> snapped rings
+      -> (histogram pass)  partial counts per fine cell -> groupby sum ->
+                           driver builds the content-balanced cut (tiny)
+      -> Route             map_batches actor pool: 1 row per (tile, polygon)
+      -> groupby(tile).map_groups(TileOverlay)   the one big shuffle
+      -> groupby(stitch_key).map_groups(stitch_group)  border-band shuffle
+      -> Finalize          map_batches: px rings -> WKB, attrs + span rewrite
+
+Interior faces get a unique stitch_key (group of one, passed through), so
+the whole pipeline is one linear stream — no branch, no materialize().
+Border faces group by their coverage signature; tile-border segments that
+have same-coverage faces on both sides cancel exactly (both tiles computed
+bit-identical snapped coordinates), re-noding handles T-junctions between
+tiles at different quadtree levels, and assembled regions re-polygonize.
+This replaces the reference's serial master-topology merge + JT2..JT6
+border passes (function_resolve_overlap_gap_run.sql:200-446).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from . import spans as spans_mod
+from .config import GridConfig
+from .geom import arrangement, core, noding, polygonize, wkb
+from .tiling import balance, quadkey
+
+# ---------------------------------------------------------------------------
+# ring (de)serialization: int32 nrings; per ring int32 npts, npts*2 int64 xy,
+# npts uint8 tile-border mask
+# ---------------------------------------------------------------------------
+
+
+def pack_rings(rings: list[np.ndarray], masks: list[np.ndarray] | None = None) -> bytes:
+    out = [struct.pack("<i", len(rings))]
+    for k, r in enumerate(rings):
+        r = np.ascontiguousarray(r, dtype="<i8")
+        m = (
+            np.ascontiguousarray(masks[k], dtype=np.uint8)
+            if masks is not None
+            else np.zeros(len(r), dtype=np.uint8)
+        )
+        out.append(struct.pack("<i", len(r)))
+        out.append(r.tobytes())
+        out.append(m.tobytes())
+    return b"".join(out)
+
+
+def unpack_rings(buf: bytes) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    (nr,) = struct.unpack_from("<i", buf, 0)
+    off = 4
+    rings, masks = [], []
+    for _ in range(nr):
+        (n,) = struct.unpack_from("<i", buf, off)
+        off += 4
+        r = np.frombuffer(buf, dtype="<i8", count=2 * n, offset=off).reshape(n, 2)
+        off += 16 * n
+        m = np.frombuffer(buf, dtype=np.uint8, count=n, offset=off)
+        off += n
+        rings.append(r.astype(np.int64))
+        masks.append(m.copy())
+    return rings, masks
+
+
+FACE_SCHEMA = pa.schema(
+    [
+        ("tile", pa.int64()),
+        ("stitch_key", pa.string()),
+        ("kind", pa.int8()),          # 0 final face, 1 border piece
+        ("rings", pa.large_binary()),
+        ("cov", pa.list_(pa.int64())),
+        ("winner_pk", pa.int64()),    # -1 = gap (no attribution)
+        ("others", pa.list_(pa.int64())),
+        ("is_valid", pa.bool_()),
+        ("area2", pa.int64()),        # 2 * area in px^2
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# unwrap: documents -> snapped polygon rows
+# ---------------------------------------------------------------------------
+
+
+class Unwrap:
+    """Span documents -> (pk, packed snapped rings, bbox, validity).
+
+    Stateless-task stage (plain callable, pickled once into the task spec):
+    decodes WKB, snaps to the global grid, normalizes orientation.  Kept as
+    a task, not an actor pool, so small-CPU sessions don't starve the
+    shuffles — only the heavy stages (TileOverlay, Finalize) hold actors.
+    """
+
+    def __init__(self, grid: GridConfig):
+        self.grid = grid
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        g = self.grid
+        wkbs = spans_mod.extract_geometry_wkb(t["spans"])
+        doc_ids = t["doc_id"].to_pylist()
+        out = {
+            "doc_id": [],
+            "pk": [],
+            "rings": [],
+            "minx": [],
+            "miny": [],
+            "maxx": [],
+            "maxy": [],
+            "valid": [],
+            "spans_idx": [],
+        }
+        keep_rows = []
+        for i, wb in enumerate(wkbs):
+            if not wb:
+                continue
+            try:
+                rings_f = wkb.decode_polygon_rings(wb)
+            except wkb.WkbError:
+                continue
+            rings = [core.snap(r, g.origin_x, g.origin_y, g.precision) for r in rings_f]
+            rings = [r for r in rings if len(r) >= 3]
+            if not rings:
+                continue
+            valid = all(core.ring_is_simple(r) for r in rings)
+            rings = arrangement.normalize_rings(rings)
+            mnx, mny, mxx, mxy = core.bbox_of_rings(rings)
+            did = doc_ids[i]
+            try:
+                pk = int(did)
+            except (TypeError, ValueError):
+                pk = hash(did) & 0x7FFFFFFFFFFFFFFF
+            out["doc_id"].append(did)
+            out["pk"].append(pk)
+            out["rings"].append(pack_rings(rings))
+            out["minx"].append(mnx)
+            out["miny"].append(mny)
+            out["maxx"].append(mxx)
+            out["maxy"].append(mxy)
+            out["valid"].append(valid)
+            keep_rows.append(i)
+        res = pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "pk": pa.array(out["pk"], pa.int64()),
+                "rings": pa.array(out["rings"], pa.large_binary()),
+                "minx": pa.array(out["minx"], pa.int64()),
+                "miny": pa.array(out["miny"], pa.int64()),
+                "maxx": pa.array(out["maxx"], pa.int64()),
+                "maxy": pa.array(out["maxy"], pa.int64()),
+                "valid": pa.array(out["valid"], pa.bool_()),
+            }
+        )
+        # spans ride along untouched (zero-copy take of the original column)
+        res = res.append_column("spans", t["spans"].combine_chunks().take(pa.array(keep_rows, pa.int64())))
+        return res
+
+
+def extent_of_docs(ds) -> tuple[float, float, float, float]:
+    """One cheap pass: float bbox of all geometry (per-batch partials)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        wkbs = spans_mod.extract_geometry_wkb(t["spans"])
+        mnx = mny = np.inf
+        mxx = mxy = -np.inf
+        for wb in wkbs:
+            if not wb:
+                continue
+            try:
+                for r in wkb.decode_polygon_rings(wb):
+                    mnx = min(mnx, float(r[:, 0].min()))
+                    mny = min(mny, float(r[:, 1].min()))
+                    mxx = max(mxx, float(r[:, 0].max()))
+                    mxy = max(mxy, float(r[:, 1].max()))
+            except wkb.WkbError:
+                continue
+        return pa.table(
+            {"minx": [mnx], "miny": [mny], "maxx": [mxx], "maxy": [mxy]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    mnx = min(p["minx"] for p in parts)
+    mny = min(p["miny"] for p in parts)
+    mxx = max(p["maxx"] for p in parts)
+    mxy = max(p["maxy"] for p in parts)
+    return mnx, mny, mxx, mxy
+
+
+def grid_from_extent(
+    minx: float, miny: float, maxx: float, maxy: float, precision: float
+) -> GridConfig:
+    """Global snap grid + power-of-two tiling square with a margin so data
+    never touches the tiling-square boundary (universe detection relies on
+    the outermost frontier being tile borders, not data)."""
+    w = max(maxx - minx, maxy - miny)
+    margin = max(w * 0.01, precision * 64)
+    span_px = 1
+    need = int((w + 2 * margin) / precision) + 2
+    while span_px < need:
+        span_px *= 2
+    if span_px > core.MAX_SPAN_PX:
+        raise ValueError(
+            f"extent/precision needs {span_px} px > 2^28; raise precision"
+        )
+    return GridConfig(minx - margin, miny - margin, span_px * precision, precision)
+
+
+# ---------------------------------------------------------------------------
+# histogram -> content-balanced cut
+# ---------------------------------------------------------------------------
+
+
+def compute_cut(unwrapped, grid: GridConfig, base_level: int, fine_level: int, max_rows: int) -> balance.CutIndex:
+    span_px = grid.span_px
+    fine_level = min(fine_level, grid.max_level())
+    base_level = min(base_level, fine_level)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        cx = (t["minx"].to_numpy() + t["maxx"].to_numpy()) // 2
+        cy = (t["miny"].to_numpy() + t["maxy"].to_numpy()) // 2
+        cells = quadkey.cell_of_point_px(cx, cy, fine_level, span_px)
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table({"cell": u.astype(np.int64), "n": c})
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        unwrapped.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    cells = np.array([r["cell"] for r in rows], dtype=np.uint64)
+    counts = np.array([r["n"] for r in rows], dtype=np.int64)
+    cut = balance.build_cut(cells, counts, base_level, fine_level, max_rows)
+    return balance.CutIndex(cut, base_level, fine_level, span_px)
+
+
+class Route:
+    """1 row per (leaf tile, polygon) whose bboxes intersect.
+
+    Reference: rows assigned to every grid cell their bbox overlaps
+    (geo && cell, find_overlap_and_gap-pre.sql:197-206).  The CutIndex is
+    shipped once per actor via the constructor.
+    """
+
+    def __init__(self, cut: balance.CutIndex):
+        self.cut = cut
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mnx = t["minx"].to_numpy()
+        mny = t["miny"].to_numpy()
+        mxx = t["maxx"].to_numpy()
+        mxy = t["maxy"].to_numpy()
+        idx_list, tile_list = [], []
+        for i in range(len(t)):
+            for tile in self.cut.tiles_of_bbox_px(mnx[i], mny[i], mxx[i], mxy[i]):
+                idx_list.append(i)
+                tile_list.append(int(tile))
+        taken = t.take(pa.array(idx_list, pa.int64()))
+        return taken.append_column(
+            "tile", pa.array(tile_list, pa.int64())
+        )
+
+
+# ---------------------------------------------------------------------------
+# per-tile overlay (the stateful heavy stage)
+# ---------------------------------------------------------------------------
+
+
+class TileOverlay:
+    """groupby(tile).map_groups worker: full snap-rounded overlay of one tile.
+
+    Reference: resolve_overlap_gap_single_cell JT1 (build) + JT6 (small
+    faces) + JT7 (extract/attribute), collapsed into one deterministic pass
+    because there is no shared mutable topology to lock
+    (cell.sql:189-423,758-913).
+    """
+
+    def __init__(self, grid: GridConfig, utm: bool, min_area: float):
+        self.grid = grid
+        self.utm = utm
+        self.min_area = min_area
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        g = self.grid
+        tile = int(group["tile"][0].as_py())
+        bounds = quadkey.cell_bounds_px(np.uint64(tile), g.span_px)
+        pks = group["pk"].to_numpy()
+        valid = group["valid"].to_numpy()
+        valid_of = dict(zip(pks.tolist(), valid.tolist()))
+        polys = []
+        rings_col = group["rings"].to_pylist()
+        for i in range(len(group)):
+            rings, _ = unpack_rings(rings_col[i])
+            polys.append((int(pks[i]), rings))
+        if self.min_area > 0:
+            if self.utm:
+                min_area2 = 2.0 * self.min_area / (g.precision**2)
+                area2_fn = None
+            else:
+                min_area2 = 2.0 * self.min_area
+                area2_fn = lambda rings: 2.0 * core.geodesic_area(
+                    rings, g.origin_x, g.origin_y, g.precision
+                )
+        else:
+            min_area2, area2_fn = 0.0, None
+        faces = arrangement.overlay_tile(polys, bounds, min_area2, area2_fn)
+        return faces_to_table(faces, tile, valid_of)
+
+
+def faces_to_table(
+    faces: list[arrangement.TileFace], tile: int, valid_of: dict[int, bool]
+) -> pa.Table:
+    cols = {k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")}
+    seq = 0
+    for f in faces:
+        cov_sorted = sorted(f.cov)
+        is_valid = all(valid_of.get(p, True) for p in (f.touches | f.cov))
+        if f.touches_border:
+            key = "b:" + ",".join(map(str, cov_sorted))
+            cols["tile"].append(tile)
+            cols["stitch_key"].append(key)
+            cols["kind"].append(1)
+            cols["rings"].append(pack_rings(f.rings, f.masks))
+            cols["cov"].append(cov_sorted)
+            cols["winner_pk"].append(-1)
+            cols["others"].append([])
+            cols["is_valid"].append(is_valid)
+            cols["area2"].append(int(f.area2))
+        else:
+            winner, others = arrangement.attribution(f.ledger)
+            cols["tile"].append(tile)
+            cols["stitch_key"].append(f"i:{tile}:{seq}")
+            seq += 1
+            cols["kind"].append(0)
+            cols["rings"].append(pack_rings(f.rings, f.masks))
+            cols["cov"].append(cov_sorted)
+            cols["winner_pk"].append(-1 if winner is None else int(winner))
+            cols["others"].append([int(o) for o in others])
+            cols["is_valid"].append(is_valid)
+            cols["area2"].append(int(f.area2))
+    return pa.table(
+        {
+            "tile": pa.array(cols["tile"], pa.int64()),
+            "stitch_key": pa.array(cols["stitch_key"], pa.string()),
+            "kind": pa.array(cols["kind"], pa.int8()),
+            "rings": pa.array(cols["rings"], pa.large_binary()),
+            "cov": pa.array(cols["cov"], pa.list_(pa.int64())),
+            "winner_pk": pa.array(cols["winner_pk"], pa.int64()),
+            "others": pa.array(cols["others"], pa.list_(pa.int64())),
+            "is_valid": pa.array(cols["is_valid"], pa.bool_()),
+            "area2": pa.array(cols["area2"], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# border stitch
+# ---------------------------------------------------------------------------
+
+_GROUP_LBL = 0
+_TILEB_LBL = 1
+
+
+def _heal_crossing_vertices(
+    segs: np.ndarray, labels: list[frozenset], removable: set[tuple[int, int]]
+) -> tuple[np.ndarray, list[frozenset]]:
+    """Remove degree-2 vertices left where a real edge crossed a (now
+    cancelled) tile border: merge the two near-collinear real halves back
+    into the original whole segment.  The engine's cross-tile
+    do_healedges analogue (function_01_do_healedges_no_block.sql)."""
+    if not removable or len(segs) == 0:
+        return segs, labels
+    segs = [tuple(int(v) for v in s) for s in segs]
+    labels = list(labels)
+    for _ in range(16):  # reference bounds its heal loop at 15 (heal.sql:8)
+        incid: dict[tuple[int, int], list[int]] = {}
+        for k, s in enumerate(segs):
+            if s is None:
+                continue
+            incid.setdefault((s[0], s[1]), []).append(k)
+            incid.setdefault((s[2], s[3]), []).append(k)
+        changed = False
+        for v in list(removable):
+            ks = incid.get(v, [])
+            ks = [k for k in ks if segs[k] is not None]
+            if len(ks) != 2 or ks[0] == ks[1]:
+                continue
+            k1, k2 = ks
+            if any((_TILEB_LBL, sd) in labels[k] for k in (k1, k2) for sd in (1, -1)):
+                continue
+            s1, s2 = segs[k1], segs[k2]
+            a = (s1[2], s1[3]) if (s1[0], s1[1]) == v else (s1[0], s1[1])
+            b = (s2[2], s2[3]) if (s2[0], s2[1]) == v else (s2[0], s2[1])
+            if a == b:
+                continue
+            cr = (v[0] - a[0]) * (b[1] - a[1]) - (v[1] - a[1]) * (b[0] - a[0])
+            ab = float(np.hypot(b[0] - a[0], b[1] - a[1]))
+            if ab == 0 or abs(cr) > 0.75 * ab:
+                continue
+            # side of the group along direction a->v on s1 (flip if canonical
+            # direction of s1 is v->a)
+            s1_fwd = (s1[0], s1[1]) == a  # canonical dir equals a->v
+            side = next((sd for g, sd in labels[k1] if g == _GROUP_LBL), 1)
+            side_av = side if s1_fwd else -side
+            # new segment a->b, canonicalized
+            if (a[0], a[1]) < (b[0], b[1]):
+                new_seg = (a[0], a[1], b[0], b[1])
+                new_side = side_av
+            else:
+                new_seg = (b[0], b[1], a[0], a[1])
+                new_side = -side_av
+            segs[k1] = new_seg
+            labels[k1] = frozenset([(_GROUP_LBL, new_side)])
+            segs[k2] = None
+            changed = True
+        if not changed:
+            break
+    out_segs = [s for s in segs if s is not None]
+    out_labels = [l for s, l in zip(segs, labels) if s is not None]
+    return np.asarray(out_segs, dtype=np.int64).reshape(-1, 4), out_labels
+
+
+def stitch_group(group: pa.Table) -> pa.Table:
+    """Assemble border pieces that share a coverage signature.
+
+    Tile-border segments with group faces on both sides cancel; segments
+    whose mask says "pure tile border" and that survive cancellation mark
+    universe frontier — assembled uncovered faces touching one are the
+    world outside the data and are dropped (the reference similarly never
+    emits the universe face; gaps enclosed by data ARE emitted as
+    NULL-attribute rows, resolve_overlap_and_gap_expected:2-8).
+    """
+    kinds = group["kind"].to_numpy()
+    if len(group) == 1 and kinds[0] == 0:
+        return group  # interior face, unique key: pass through
+    cov = frozenset(int(c) for c in (group["cov"][0].as_py() or []))
+    seg_list = []
+    lab_list = []
+    rings_col = group["rings"].to_pylist()
+    for i in range(len(group)):
+        rings, masks = unpack_rings(rings_col[i])
+        for r, m in zip(rings, masks):
+            if len(r) < 2:
+                continue
+            nxt = np.roll(r, -1, axis=0)
+            ss = np.concatenate([r, nxt], axis=1)
+            seg_list.append(ss)
+            for k in range(len(ss)):
+                lab = [(_GROUP_LBL, 1)]
+                if m[k]:
+                    lab.append((_TILEB_LBL, 1))
+                lab_list.append(frozenset(lab))
+    segs = np.concatenate(seg_list)
+    segs, labels = noding.node_segments(segs, lab_list)
+    # cancel: internal borders have the group on both sides
+    keep, dropped_pts = [], set()
+    for k in range(len(segs)):
+        if (_GROUP_LBL, 1) in labels[k] and (_GROUP_LBL, -1) in labels[k]:
+            s = segs[k]
+            dropped_pts.add((int(s[0]), int(s[1])))
+            dropped_pts.add((int(s[2]), int(s[3])))
+        else:
+            keep.append(k)
+    segs = segs[keep]
+    labels = [labels[k] for k in keep]
+    segs, labels = _heal_crossing_vertices(segs, labels, dropped_pts)
+    arr = polygonize.polygonize(segs, labels)
+    tile = int(group["tile"][0].as_py())
+    min_tile = int(group["tile"].to_numpy().min())
+    is_valid = bool(np.all(group["is_valid"].to_numpy()))
+    is_gap = len(cov) == 0
+    cols = {k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")}
+    seq = 0
+    for f in arr.faces:
+        if _GROUP_LBL not in f.cov:
+            continue
+        if is_gap and _TILEB_LBL in f.touches:
+            continue  # universe frontier -> not an enclosed gap
+        winner, others = arrangement.attribution([(f.area2, cov)])
+        cols["tile"].append(min_tile)
+        cols["stitch_key"].append(f"s:{min_tile}:{seq}")
+        seq += 1
+        cols["kind"].append(0)
+        cols["rings"].append(pack_rings([f.shell] + f.holes))
+        cols["cov"].append(sorted(cov))
+        cols["winner_pk"].append(-1 if winner is None else int(winner))
+        cols["others"].append([int(o) for o in others])
+        cols["is_valid"].append(is_valid)
+        cols["area2"].append(int(f.area2))
+    return pa.table(
+        {
+            "tile": pa.array(cols["tile"], pa.int64()),
+            "stitch_key": pa.array(cols["stitch_key"], pa.string()),
+            "kind": pa.array(cols["kind"], pa.int8()),
+            "rings": pa.array(cols["rings"], pa.large_binary()),
+            "cov": pa.array(cols["cov"], pa.list_(pa.int64())),
+            "winner_pk": pa.array(cols["winner_pk"], pa.int64()),
+            "others": pa.array(cols["others"], pa.list_(pa.int64())),
+            "is_valid": pa.array(cols["is_valid"], pa.bool_()),
+            "area2": pa.array(cols["area2"], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# finalize: px rings -> WKB + areas + winner attributes / span rewrite
+# ---------------------------------------------------------------------------
+
+
+class Finalize:
+    """map_batches actor pool: the JT7 attribute-copy join
+    (cell.sql:869-873) realised as a broadcast lookup (winner docs shipped
+    once per actor via ray.put; at scale swap for Dataset.join on pk)."""
+
+    def __init__(self, grid: GridConfig, utm: bool, docs_ref):
+        import ray
+
+        self.grid = grid
+        self.utm = utm
+        self.docs = ray.get(docs_ref) if docs_ref is not None else {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        g = self.grid
+        n = len(t)
+        rings_col = t["rings"].to_pylist()
+        winner = t["winner_pk"].to_numpy()
+        out_wkb, out_area, out_docid, out_spans = [], [], [], []
+        for i in range(n):
+            rings, _ = unpack_rings(rings_col[i])
+            rings_f = [core.unsnap(r, g.origin_x, g.origin_y, g.precision) for r in rings]
+            b = wkb.encode_polygon(rings_f)
+            out_wkb.append(b)
+            if self.utm:
+                out_area.append(core.planar_area(rings, g.precision))
+            else:
+                out_area.append(core.geodesic_area(rings, g.origin_x, g.origin_y, g.precision))
+            pk = int(winner[i])
+            doc = self.docs.get(pk)
+            if doc is None:
+                out_docid.append(None)
+                out_spans.append(
+                    [
+                        {
+                            "kind": spans_mod.GEOMETRY_KIND,
+                            "text": b.hex(),
+                            "media_ref": "",
+                            "offset": 0,
+                        }
+                    ]
+                )
+            else:
+                did, spans = doc
+                out_docid.append(did)
+                out_spans.append(spans_mod.rewrite_geometry_span(spans, b.hex()))
+        others = t["others"]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_docid, pa.string()),
+                "winner_pk": pa.array(
+                    [None if int(w) < 0 else int(w) for w in winner], pa.int64()
+                ),
+                "other_intersect_id_list": others.combine_chunks(),
+                "input_geo_is_valid": t["is_valid"].combine_chunks(),
+                "wkb": pa.array(out_wkb, pa.large_binary()),
+                "area": pa.array(out_area, pa.float64()),
+                "tile": t["tile"].combine_chunks(),
+                "spans": pa.array(out_spans, spans_mod.SPANS_TYPE),
+            }
+        )
