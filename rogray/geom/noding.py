@@ -61,41 +61,48 @@ def _canonicalize(segs: np.ndarray, labels: list[frozenset]) -> tuple[np.ndarray
     return segs, labels
 
 
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu(m: int) -> tuple[np.ndarray, np.ndarray]:
+    got = _TRIU_CACHE.get(m)
+    if got is None:
+        got = np.triu_indices(m, k=1)
+        if m <= 256:
+            _TRIU_CACHE[m] = got
+    return got
+
+
 def _grid_pairs(boxes: np.ndarray, cell: int, other_points: np.ndarray | None = None):
     """Candidate index pairs whose (expanded) bboxes share a grid bucket.
 
     With other_points given, returns (point_idx, box_idx) candidates instead
-    of (box_idx, box_idx) pairs.
+    of (box_idx, box_idx) pairs.  Fully vectorized (no per-box Python work).
     """
     cx0 = boxes[:, 0] // cell
     cy0 = boxes[:, 1] // cell
     cx1 = boxes[:, 2] // cell
     cy1 = boxes[:, 3] // cell
-    counts = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+    nx = cx1 - cx0 + 1
+    counts = nx * (cy1 - cy0 + 1)
+    total = int(counts.sum())
     idx = np.repeat(np.arange(len(boxes)), counts)
-    # enumerate covered cells per box
-    keys = np.empty(len(idx), dtype=np.int64)
-    pos = 0
-    for i in range(len(boxes)):
-        nx = cx1[i] - cx0[i] + 1
-        ny = cy1[i] - cy0[i] + 1
-        xs = np.arange(cx0[i], cx1[i] + 1)
-        ys = np.arange(cy0[i], cy1[i] + 1)
-        gx, gy = np.meshgrid(xs, ys)
-        keys[pos : pos + nx * ny] = gx.ravel() * np.int64(1 << 31) + gy.ravel()
-        pos += nx * ny
+    # local cell index within each box, vectorized
+    k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    nx_r = np.repeat(nx, counts)
+    keys = (np.repeat(cx0, counts) + k % nx_r) * np.int64(1 << 31) + (
+        np.repeat(cy0, counts) + k // nx_r
+    )
     if other_points is None:
         order = np.argsort(keys, kind="stable")
         keys, idx = keys[order], idx[order]
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         ends = np.r_[starts[1:], len(keys)]
+        sizes = ends - starts
         ai, bi = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
+        for s, e in zip(starts[sizes > 1], ends[sizes > 1]):
             grp = idx[s:e]
-            m = len(grp)
-            ii, jj = np.triu_indices(m, k=1)
+            ii, jj = _triu(e - s)
             ai.append(grp[ii])
             bi.append(grp[jj])
         if not ai:
@@ -108,9 +115,16 @@ def _grid_pairs(boxes: np.ndarray, cell: int, other_points: np.ndarray | None = 
     left = np.searchsorted(keys_s, pk, side="left")
     right = np.searchsorted(keys_s, pk, side="right")
     cnt = right - left
+    total_p = int(cnt.sum())
+    if total_p == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     pi = np.repeat(np.arange(len(pk)), cnt)
-    si = np.concatenate([idx_s[l:r] for l, r in zip(left, right)]) if len(pk) else np.empty(0, np.int64)
-    return pi, np.asarray(si, dtype=np.int64)
+    pos = (
+        np.arange(total_p, dtype=np.int64)
+        - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        + np.repeat(left, cnt)
+    )
+    return pi, idx_s[pos].astype(np.int64)
 
 
 def _iround_div(num: int, den: int) -> int:

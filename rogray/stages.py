@@ -338,7 +338,10 @@ def faces_to_table(
         else:
             winner, others = arrangement.attribution(f.ledger)
             cols["tile"].append(tile)
-            cols["stitch_key"].append(f"i:{tile}:{seq}")
+            # all interior faces of a tile share one stitch group (they are
+            # final; grouping per tile keeps per-group overhead off the
+            # hot path -- 1 group per tile, not per face)
+            cols["stitch_key"].append(f"i:{tile}")
             seq += 1
             cols["kind"].append(0)
             cols["rings"].append(pack_rings(f.rings, f.masks))
@@ -440,11 +443,11 @@ def stitch_group(group: pa.Table) -> pa.Table:
     NULL-attribute rows, resolve_overlap_and_gap_expected:2-8).
     """
     kinds = group["kind"].to_numpy()
-    if len(group) == 1 and kinds[0] == 0:
-        return group  # interior face, unique key: pass through
+    if (kinds == 0).all():
+        return group  # interior faces (final): pass through whole group
     cov = frozenset(int(c) for c in (group["cov"][0].as_py() or []))
     seg_list = []
-    lab_list = []
+    mask_list = []
     rings_col = group["rings"].to_pylist()
     for i in range(len(group)):
         rings, masks = unpack_rings(rings_col[i])
@@ -452,17 +455,43 @@ def stitch_group(group: pa.Table) -> pa.Table:
             if len(r) < 2:
                 continue
             nxt = np.roll(r, -1, axis=0)
-            ss = np.concatenate([r, nxt], axis=1)
-            seg_list.append(ss)
-            for k in range(len(ss)):
-                lab = [(_GROUP_LBL, 1)]
-                if m[k]:
-                    lab.append((_TILEB_LBL, 1))
-                lab_list.append(frozenset(lab))
+            seg_list.append(np.concatenate([r, nxt], axis=1))
+            mask_list.append(m.astype(np.int64))
     segs = np.concatenate(seg_list)
+    tileb = np.concatenate(mask_list)
+    # --- vectorized pre-cancellation of exact opposite duplicates ---------
+    # same-level tile neighbours produce bit-identical border segments; drop
+    # those pairs before the (expensive) noding so only T-junctions between
+    # different-level tiles reach it.
+    side = np.ones(len(segs), dtype=np.int64)
+    flip = (segs[:, 0] > segs[:, 2]) | ((segs[:, 0] == segs[:, 2]) & (segs[:, 1] > segs[:, 3]))
+    segs = segs.copy()
+    segs[flip] = segs[flip][:, [2, 3, 0, 1]]
+    side[flip] = -1
+    order = np.lexsort((segs[:, 3], segs[:, 2], segs[:, 1], segs[:, 0]))
+    segs, side, tileb = segs[order], side[order], tileb[order]
+    same_prev = np.r_[False, np.all(segs[1:] == segs[:-1], axis=1)]
+    run_id = np.cumsum(~same_prev)
+    drop = np.zeros(len(segs), dtype=bool)
+    # a run with both orientations is an internal border -> drop whole run
+    pos = np.zeros(run_id.max() + 1, dtype=np.int64)
+    neg = np.zeros(run_id.max() + 1, dtype=np.int64)
+    np.add.at(pos, run_id, (side == 1).astype(np.int64))
+    np.add.at(neg, run_id, (side == -1).astype(np.int64))
+    both = (pos[run_id] > 0) & (neg[run_id] > 0)
+    dropped_pts = set(
+        map(tuple, np.concatenate([segs[both][:, :2], segs[both][:, 2:]]).tolist())
+    )
+    segs, side, tileb = segs[~both], side[~both], tileb[~both]
+    lab_list = []
+    for k in range(len(segs)):
+        lab = [(_GROUP_LBL, int(side[k]))]
+        if tileb[k]:
+            lab.append((_TILEB_LBL, 1))
+        lab_list.append(frozenset(lab))
     segs, labels = noding.node_segments(segs, lab_list)
-    # cancel: internal borders have the group on both sides
-    keep, dropped_pts = [], set()
+    # cancel T-junction remainders: group on both sides after noding
+    keep = []
     for k in range(len(segs)):
         if (_GROUP_LBL, 1) in labels[k] and (_GROUP_LBL, -1) in labels[k]:
             s = segs[k]
