@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the rogray library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries() covers the operator inventory of SURVEY.md section 2 plus the
+training-data operators (dedup / similarity / text analysis).  Entries with
+an oracle_sql() twin are value-checked against DuckDB by the driver;
+geometry pipelines (not SQL-expressible) get rows-only checks and are
+instead cross-checked by tests/test_resolve_pipeline.py (tiling
+independence, golden counts, span passthrough).
 """
 
 from __future__ import annotations
@@ -18,27 +16,166 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+
+def _geo_cfg(max_rows: int = 400, base_level: int = 2):
+    from rogray.config import ResolveConfig, TopologyConfig
+
+    return ResolveConfig(
+        topology=TopologyConfig(
+            snap_tolerance=1e-5,
+            utm=False,
+            max_rows_in_each_cell=max_rows,
+            base_level=base_level,
+        )
+    )
+
+
+def _geo_docs(sf_dir: str, frac: float = 0.1):
+    """Deterministic synthetic polygon-document table scaled to sf."""
+    import ray.data as rd
+
+    from rogray import sources
+
+    n = max(64, int(sources.scale_rows(sf_dir) * frac))
+    return rd.read_parquet(sources.docs_path_for(sf_dir, n))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: resolve_overlap_gap on the sf0.001-scale synthetic layer."""
+    from rogray.pipelines import resolve
+
+    ds = _geo_docs("/root/testdata/sf0.001", frac=1.0)
+    return resolve.resolve_overlap_gap(ds, _geo_cfg())
+
+
+# ---------------------------------------------------------------------------
+
+
+def _q_resolve(sf_dir: str):
+    from rogray.pipelines import resolve
+
+    res = resolve.resolve_overlap_gap(_geo_docs(sf_dir), _geo_cfg())
+    return res.select_columns(
+        ["doc_id", "winner_pk", "other_intersect_id_list", "input_geo_is_valid", "area", "tile"]
+    )
+
+
+def _q_resolve_summary(sf_dir: str):
+    import pandas as pd
+
+    from rogray.pipelines import resolve
+
+    df = (
+        resolve.resolve_overlap_gap(_geo_docs(sf_dir), _geo_cfg())
+        .select_columns(["winner_pk", "input_geo_is_valid", "area"])
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_faces": [len(df)],
+            "n_attributed": [int(df["winner_pk"].notna().sum())],
+            "n_gaps": [int(df["winner_pk"].isna().sum())],
+            "n_invalid_flagged": [int((~df["input_geo_is_valid"]).sum())],
+        }
+    )
+
+
+def _q_detect(sf_dir: str):
+    from rogray.pipelines import detect
+
+    return detect.find_overlap_gap(_geo_docs(sf_dir), _geo_cfg())
+
+
+def _q_tiling(sf_dir: str):
+    """Content-balanced tile assignment of the polygon layer (tile, count)."""
+    import pandas as pd
+
+    from rogray.pipelines import resolve
+
+    ds = _geo_docs(sf_dir)
+    plan = resolve.prepare(ds, _geo_cfg())
+    rows = sorted(plan.cut.counts.items())
+    return pd.DataFrame(
+        {"tile": [t for t, _ in rows], "n_rows": [c for _, c in rows]}
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray.data as rd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from rogray import dedup, relational, similarity, textstats
+
+    def _docs(sf_dir):
+        return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def _embs(sf_dir):
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def _query_vecs(sf_dir):
+        import pyarrow.parquet as pq
+        import pyarrow.compute as pc
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        t = t.filter(pc.less(t["vec_id"], 4)).sort_by("vec_id")
+        return (
+            np.asarray(t["embedding"].to_pylist(), dtype=np.float64),
+            t["vec_id"].to_pylist(),
+        )
+
+    def ann_brute(sf_dir):
+        q, qids = _query_vecs(sf_dir)
+        return similarity.brute_topk(_embs(sf_dir), q, qids, k=10)
+
+    def ann_ivf(sf_dir):
+        q, qids = _query_vecs(sf_dir)
+        return similarity.ivf_topk(_embs(sf_dir), q, qids, k=10)
+
+    return {
+        # --- geospatial engine (rows-only checks; see tests for oracles) ---
+        "resolve_overlap_gap": _q_resolve,
+        "resolve_overlap_gap_summary": _q_resolve_summary,
+        "find_overlap_gap": _q_detect,
+        "content_balanced_tiling": _q_tiling,
+        # --- relational machinery (DuckDB oracles) ---
+        "pricing_summary": lambda sf: relational.pricing_summary(sf),
+        "top_customers": lambda sf: relational.top_customers(sf),
+        "events_hourly": lambda sf: relational.events_hourly(sf),
+        "supplier_nation_rollup": lambda sf: relational.supplier_nation_rollup(sf),
+        # --- text analysis (DuckDB oracles where exact) ---
+        "text_token_stats": lambda sf: textstats.token_stats(_docs(sf)),
+        "text_fingerprint": lambda sf: textstats.fingerprint(_docs(sf)),
+        "text_quality": lambda sf: textstats.quality_score(_docs(sf)),
+        "text_lang_id": lambda sf: textstats.lang_id(_docs(sf)),
+        # --- deduplication ---
+        "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
+        "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(_docs(sf)),
+        "dedup_simhash": lambda sf: dedup.simhash_pairs(_docs(sf)),
+        "dedup_embedding_exact": lambda sf: dedup.embedding_neardup_exact(_embs(sf)),
+        "dedup_embedding_lsh": lambda sf: dedup.embedding_neardup_pairs(_embs(sf)),
+        # --- similarity search ---
+        "ann_brute_topk": ann_brute,
+        "ann_ivf_topk": ann_ivf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rogray import dedup, relational, similarity, textstats
+
+    return {
+        "pricing_summary": relational.pricing_summary_sql(),
+        "top_customers": relational.top_customers_sql(),
+        "events_hourly": relational.events_hourly_sql(),
+        "supplier_nation_rollup": relational.supplier_nation_rollup_sql(),
+        "text_token_stats": textstats.token_stats_sql(),
+        "text_fingerprint": textstats.fingerprint_sql(),
+        "text_quality": textstats.quality_score_sql(),
+        "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_embedding_exact": dedup.embedding_neardup_sql(),
+        "ann_brute_topk": similarity.brute_topk_sql([0, 1, 2, 3], 10),
+        # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap,
+        # resolve_overlap_gap_summary, find_overlap_gap,
+        # content_balanced_tiling, text_lang_id, dedup_minhash_lsh,
+        # dedup_simhash, dedup_embedding_lsh, ann_ivf_topk
+    }

@@ -1,0 +1,189 @@
+"""Relational operators over the TPC-H-ish test tables.
+
+These prove the engine's aggregate/join/window machinery with exact DuckDB
+oracles.  Pattern: pre-aggregate per batch inside map_batches (partials),
+then a tiny groupby over partials — the scale-correct shape
+(/opt/skills/guides/ray_guide.md "Aggregation at scale").  Monetary sums
+are carried as integer cents so value-hash comparison is float-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary on lineitem (integer cents)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["qty_c"] = np.round(df["l_quantity"] * 100).astype(np.int64)
+        df["price_c"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        df["disc_c"] = np.round(df["l_discount"] * 100).astype(np.int64)
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty_c=("qty_c", "sum"), sum_price_c=("price_c", "sum"),
+                 sum_disc_c=("disc_c", "sum"), n=("qty_c", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("sum_price_c", alias_name="sum_price_c"),
+            Sum("sum_disc_c", alias_name="sum_disc_c"),
+            Sum("n", alias_name="count_order"),
+        )
+    )
+
+
+def pricing_summary_sql() -> str:
+    return """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+               CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def top_customers(sf_dir: str, n: int = 20):
+    """Revenue per customer via broadcast dimension join + top-n.
+
+    customer is the small side: broadcast as a dict (ray.put pattern); the
+    orders fact table streams.
+    """
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    cmap = dict(
+        zip(cust["c_custkey"].to_pylist(), zip(cust["c_name"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["price_c"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        g = df.groupby("o_custkey", as_index=False).agg(total_c=("price_c", "sum"), n_orders=("price_c", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("total_c", alias_name="total_c"), Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_pylist()
+        names = [cmap.get(k, (None, None))[0] for k in keys]
+        segs = [cmap.get(k, (None, None))[1] for k in keys]
+        return (
+            t.append_column("c_name", pa.array(names, pa.string()))
+            .append_column("c_mktsegment", pa.array(segs, pa.string()))
+        )
+
+    return (
+        agg.map_batches(attach, batch_format="pyarrow")
+        .sort(["total_c", "o_custkey"], descending=[True, False])
+        .limit(n)
+    )
+
+
+def top_customers_sql(n: int = 20) -> str:
+    return f"""
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               any_value(c_name) AS c_name,
+               any_value(c_mktsegment) AS c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_custkey
+        ORDER BY total_c DESC, o_custkey
+        LIMIT {n}
+    """
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1h window per event_type (streaming-shaped workload as a
+    groupby over (type, hour) — ray_guide.md 'Streaming-shaped workloads')."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["hour_epoch"] = (
+            df["ts"].dt.floor("h").astype("datetime64[ns]").astype("int64") // 10**9
+        )
+        df["value_c"] = np.round(df["value"] * 100).astype(np.int64)
+        g = df.groupby(["event_type", "hour_epoch"], as_index=False).agg(
+            n=("value_c", "size"), sum_value_c=("value_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_epoch"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value_c", alias_name="sum_value_c"))
+    )
+
+
+def events_hourly_sql() -> str:
+    return """
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    """
+
+
+def supplier_nation_rollup(sf_dir: str):
+    """Join supplier->nation->region with broadcast dims, rollup counts."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["r_name"] = df["s_nationkey"].map(lambda k: rmap.get(nmap.get(k)))
+        df["bal_c"] = np.round(df["s_acctbal"] * 100).astype(np.int64)
+        g = df.groupby("r_name", as_index=False).agg(n_suppliers=("bal_c", "size"), sum_bal_c=("bal_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        supp.map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("n_suppliers", alias_name="n_suppliers"), Sum("sum_bal_c", alias_name="sum_bal_c"))
+    )
+
+
+def supplier_nation_rollup_sql() -> str:
+    return """
+        SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """

@@ -1,0 +1,138 @@
+"""Similarity search over the embeddings table.
+
+- brute-force cosine top-k (the exactness baseline): per-batch numpy matmul
+  against a broadcast query matrix, partial top-k per batch, tiny final
+  reduce.  Only (query, cand, score) partials shuffle — never the vectors.
+- IVF-style variant (the scale path): vectors pre-bucketed by nearest of C
+  coarse centroids; queries probe the P nearest buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10):
+    """Exact cosine top-k.  queries: (Q, D) float matrix (broadcast to every
+    batch — ship once via closure, it is tiny).  Returns
+    (query_id, vec_id, sim_x1000) with deterministic tie-break on vec_id.
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = list(query_ids)
+
+    def partial(t: pa.Table) -> pa.Table:
+        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        sims = qn @ _normalize(embs).T  # (Q, N)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(len(qids)):
+            row = sims[qi]
+            # partial top-k per batch (sort by -sim, then vec_id)
+            order = np.lexsort((ids, -row))[:kk]
+            out_q.extend([qids[qi]] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_s.extend(row[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["sim_x1000"] = np.floor(g["sim"] * 1000 + 0.5).astype(np.int64)
+        return g[["query_id", "vec_id", "sim_x1000"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(reduce_group, batch_format="pandas")
+    )
+
+
+def brute_topk_sql(query_ids: list[int], k: int = 10) -> str:
+    ids = ",".join(map(str, query_ids))
+    return f"""
+        SELECT query_id, vec_id, CAST(round(sim * 1000) AS BIGINT) AS sim_x1000
+        FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                 list_cosine_similarity(q.embedding, e.embedding) AS sim,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                            e.vec_id
+                 ) AS rn
+          FROM embeddings q JOIN embeddings e ON TRUE
+          WHERE q.vec_id IN ({ids})
+        ) WHERE rn <= {k}
+    """
+
+
+def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, seed: int = 7):
+    """IVF-bucketed approximate top-k (the 100TB path).
+
+    Centroids are sampled deterministically from hashed unit directions (a
+    real deployment would k-means a sample); vectors shuffle once by
+    nearest centroid; each query scans only its n_probe nearest buckets.
+    """
+    rng = np.random.default_rng(seed)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    dim = qn.shape[1]
+    cents = _normalize(rng.standard_normal((n_centroids, dim)))
+    q_probe = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
+    qids = list(query_ids)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        nv = _normalize(embs)
+        b = np.argmax(nv @ cents.T, axis=1)
+        return pa.table(
+            {
+                "bucket": pa.array(b.astype(np.int64), pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "nvec": pa.array(nv.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        probing = [qi for qi in range(len(qids)) if b in q_probe[qi]]
+        if not probing:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+        ids = g["vec_id"].to_numpy()
+        vecs = np.asarray(g["nvec"].tolist())
+        sims = qn[probing] @ vecs.T
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(ids))
+        for row_i, qi in enumerate(probing):
+            order = np.lexsort((ids, -sims[row_i]))[:kk]
+            out_q.extend([qids[qi]] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_s.extend(sims[row_i][order].tolist())
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "sim": out_s})
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["sim_x1000"] = np.floor(g["sim"] * 1000 + 0.5).astype(np.int64)
+        return g[["query_id", "vec_id", "sim_x1000"]]
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(reduce_group, batch_format="pandas")
+    )

@@ -1,0 +1,162 @@
+"""Text analysis operators over the documents table.
+
+Each operator is a vectorized `map_batches` stage; the ones whose semantics
+are SQL-expressible mirror their DuckDB oracle exactly (integer counts and
+md5, no float formulas) so the driver's value-hash comparison passes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = re.compile(r"\S+")
+_PUNCT = re.compile(r"[.!?]")
+_WORD = re.compile(r"[a-zA-Z]+")
+
+# tiny per-language stopword lists (public knowledge) for the n-gram
+# heuristic language id
+_STOP = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "est", "un", "une", "pour", "que"},
+    "es": {"el", "la", "de", "que", "y", "los", "en", "un", "por", "con"},
+}
+
+
+def token_stats(ds):
+    """doc_id, n_tokens (whitespace), n_punct (.!?), n_chars_obs."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tokens = [len(_WS.findall(s or "")) for s in texts]
+        n_punct = [len(_PUNCT.findall(s or "")) for s in texts]
+        n_chars = [len(s or "") for s in texts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_punct": pa.array(n_punct, pa.int64()),
+                "n_chars_obs": pa.array(n_chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_stats_sql() -> str:
+    return """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS n_punct,
+               length(text) AS n_chars_obs
+        FROM documents
+    """
+
+
+def fingerprint(ds):
+    """doc_id, md5 fingerprint of the normalized (lower/trim) text.
+
+    Document fingerprinting for exact-dup detection; md5 so the DuckDB
+    oracle matches byte for byte.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        fps = [
+            hashlib.md5((s or "").strip().lower().encode("utf-8")).hexdigest()
+            for s in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprint_sql() -> str:
+    return "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"
+
+
+def lang_id(ds):
+    """doc_id, lang_pred by stopword-hit heuristic (rows-only oracle)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        preds = []
+        for s in texts:
+            words = set(w.lower() for w in _WORD.findall(s or ""))
+            best, best_hits = "unk", 0
+            for lang in sorted(_STOP):
+                hits = len(words & _STOP[lang])
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "lang_pred": pa.array(preds, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(ds):
+    """doc_id, integer quality components + a x1000 integer score so the
+    DuckDB oracle is exactly expressible (no float hashing hazards).
+
+    score_x1000 = 1000 * min(n_tokens, 100) / 100  (length component)
+                + 500 if mean token length in [3, 12]
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        rows_tok, rows_score = [], []
+        for s in texts:
+            toks = _WS.findall(s or "")
+            n = len(toks)
+            total_len = sum(len(w) for w in toks)
+            score = (1000 * min(n, 100)) // 100
+            if n > 0:
+                mean_x100 = (100 * total_len) // n
+                if 300 <= mean_x100 <= 1200:
+                    score += 500
+            rows_tok.append(n)
+            rows_score.append(score)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "n_tokens": pa.array(rows_tok, pa.int64()),
+                "score_x1000": pa.array(rows_score, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score_sql() -> str:
+    return """
+        WITH s AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                 length(regexp_replace(trim(text), '\\s+', '', 'g')) AS tok_chars
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               (1000 * least(n_tokens, 100)) // 100
+               + CASE WHEN n_tokens > 0
+                       AND (100 * tok_chars) // n_tokens BETWEEN 300 AND 1200
+                      THEN 500 ELSE 0 END AS score_x1000
+        FROM s
+    """
