@@ -102,6 +102,60 @@ def _q_tiling(sf_dir: str):
     )
 
 
+def _q_pip_join(sf_dir: str):
+    """Point-in-polygon join: polygon centroids vs the polygon layer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rogray import sources
+    from rogray import spans as spans_mod
+    from rogray.geom import wkb
+    from rogray.spatial_query import point_in_polygon_join
+
+    n = max(64, int(sources.scale_rows(sf_dir) * 0.1))
+    t = pq.read_table(sources.docs_path_for(sf_dir, n))
+    wkbs = spans_mod.extract_geometry_wkb(t["spans"])
+    xs, ys, ids = [], [], []
+    for i, wb in enumerate(wkbs):
+        rings = wkb.decode_polygon_rings(wb)
+        c = rings[0].mean(axis=0)
+        xs.append(float(c[0]))
+        ys.append(float(c[1]))
+        ids.append(i)
+    pts = rd.from_arrow(
+        pa.table({"point_id": pa.array(ids, pa.int64()), "x": xs, "y": ys})
+    )
+    return point_in_polygon_join(pts, _geo_docs(sf_dir), _geo_cfg())
+
+
+def _q_knn(sf_dir: str):
+    """kNN self-join over polygon centroids (k-ring cell expansion)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rogray import sources
+    from rogray import spans as spans_mod
+    from rogray.geom import wkb
+    from rogray.spatial_query import knn_points
+
+    n = max(64, int(sources.scale_rows(sf_dir) * 0.1))
+    t = pq.read_table(sources.docs_path_for(sf_dir, n))
+    wkbs = spans_mod.extract_geometry_wkb(t["spans"])
+    xs, ys, ids = [], [], []
+    for i, wb in enumerate(wkbs):
+        rings = wkb.decode_polygon_rings(wb)
+        c = rings[0].mean(axis=0)
+        xs.append(float(c[0]))
+        ys.append(float(c[1]))
+        ids.append(i)
+    pts = rd.from_arrow(
+        pa.table({"point_id": pa.array(ids, pa.int64()), "x": xs, "y": ys})
+    )
+    return knn_points(pts, k=5, radius=0.2, base_level=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     import ray.data as rd
 
@@ -138,6 +192,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resolve_overlap_gap_summary": _q_resolve_summary,
         "find_overlap_gap": _q_detect,
         "content_balanced_tiling": _q_tiling,
+        "point_in_polygon_join": _q_pip_join,
+        "knn_cell_expansion": _q_knn,
+        "raster_vectorize": lambda sf: __import__(
+            "rogray.raster", fromlist=["vectorize_masks"]
+        ).vectorize_masks(_geo_docs(sf)).select_columns(
+            ["doc_id", "media_ref", "n_cells"]
+        ),
+        "media_features": lambda sf: __import__(
+            "rogray.multimodal", fromlist=["media_features"]
+        ).media_features(_geo_docs(sf)),
         # --- relational machinery (DuckDB oracles) ---
         "pricing_summary": lambda sf: relational.pricing_summary(sf),
         "top_customers": lambda sf: relational.top_customers(sf),

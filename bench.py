@@ -1,0 +1,149 @@
+"""Benchmark runner.
+
+  python bench.py             # headline + per-query timings, ONE JSON line
+  python bench.py --scaling   # same headline at 8 and 32 CPUs in fresh
+                              # processes; prints throughputs + efficiency
+
+Input scale: $GRAFT_SF_DIR (default /root/testdata/sf0.1); CPU count:
+$RAY_GRAFT_CPUS (default 32).  The headline is the flagship
+resolve_overlap_gap pipeline over the synthetic polygon-document layer
+sized to the scale factor (sf0.1 -> 60k polygons); the metric of record is
+polygons resolved per second (BASELINE.json `metric`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import numpy as np
+
+    from rogray import dedup, relational, similarity, sources, textstats
+    from rogray.config import ResolveConfig, TopologyConfig
+    from rogray.pipelines import detect, resolve
+
+    n_polys = sources.scale_rows(sf_dir)
+    docs_path = sources.docs_path_for(sf_dir, n_polys)
+    cfg = ResolveConfig(
+        topology=TopologyConfig(
+            snap_tolerance=1e-5, max_rows_in_each_cell=600, base_level=2
+        )
+    )
+
+    queries: dict[str, float] = {}
+
+    # warm the page cache (untimed read)
+    rd.read_parquet(docs_path).count()
+
+    t0 = time.time()
+    ds = rd.read_parquet(docs_path)
+    n_faces = resolve.resolve_overlap_gap(
+        ds, cfg, overlay_concurrency=(1, num_cpus)
+    ).count()
+    headline = time.time() - t0
+    queries["resolve_overlap_gap"] = round(headline, 3)
+
+    t0 = time.time()
+    detect.find_overlap_gap(rd.read_parquet(docs_path), cfg).count()
+    queries["find_overlap_gap"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.pricing_summary(sf_dir).to_pandas()
+    queries["pricing_summary"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    dedup.minhash_lsh_pairs(docs).count()
+    queries["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.exact_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet")).count()
+    queries["dedup_exact"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = qt.filter(pc.less(qt["vec_id"], 4)).sort_by("vec_id")
+    qm = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    similarity.brute_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), qm, qt["vec_id"].to_pylist()
+    ).count()
+    queries["ann_brute_topk"] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    out = {
+        "metric": "resolve_overlap_gap_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf else None,
+        "num_cpus": num_cpus,
+        "n_polygons": n_polys,
+        "n_faces": n_faces,
+        "polygons_per_sec": round(n_polys / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> None:
+    """Same headline at two parallelism levels in fresh processes — the
+    sandbox stand-in for the N vs 4N cluster-size criterion."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32",
+                "sec_8cpu": t8,
+                "sec_32cpu": t32,
+                "throughput_8cpu_polys_per_sec": results[8]["polygons_per_sec"],
+                "throughput_32cpu_polys_per_sec": results[32]["polygons_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

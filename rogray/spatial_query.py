@@ -1,0 +1,209 @@
+"""Spatial query operators: point-in-polygon join and kNN over the tile grid.
+
+Both reuse the content-balanced cut: queries and data shuffle once by tile
+key, all geometry predicates run exactly on the snap grid inside per-tile
+groups.  kNN candidate recall uses cell expansion (the quadkey analogue of
+H3 k-ring): each query point is routed to every leaf tile intersecting its
+radius-expanded bbox, so neighbours across tile borders are never missed
+as long as the true kth distance <= radius (callers widen the radius and
+re-run for the rare under-covered points — reported via the `complete`
+flag).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import stages
+from .config import GridConfig, ResolveConfig
+from .geom import core
+from .tiling import quadkey
+from .pipelines.resolve import ResolvePlan, prepare
+
+
+def _snap_points(t: pa.Table, grid: GridConfig) -> tuple[np.ndarray, np.ndarray]:
+    xy = np.stack([t["x"].to_numpy(), t["y"].to_numpy()], axis=1)
+    g = core.snap(xy, grid.origin_x, grid.origin_y, grid.precision)
+    return g[:, 0], g[:, 1]
+
+
+def point_in_polygon_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None,
+                          plan: ResolvePlan | None = None):
+    """(point_id, x, y) x polygon documents -> (point_id, pk) containment pairs.
+
+    One shuffle: polygons routed by bbox, points by location, grouped per
+    tile; exact even-odd PIP on snapped coordinates inside the group.
+    """
+    cfg = cfg or ResolveConfig()
+    plan = plan or prepare(polys_docs_ds, cfg)
+    grid, cut = plan.grid, plan.cut
+
+    unwrapped = polys_docs_ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
+    polys_routed = unwrapped.map_batches(stages.Route(cut), batch_format="pyarrow")
+
+    def polys_tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tile": t["tile"].combine_chunks(),
+                "is_point": pa.array([False] * len(t), pa.bool_()),
+                "point_id": pa.array([-1] * len(t), pa.int64()),
+                "px": pa.array([0] * len(t), pa.int64()),
+                "py": pa.array([0] * len(t), pa.int64()),
+                "pk": t["pk"].combine_chunks(),
+                "rings": t["rings"].combine_chunks(),
+            }
+        )
+
+    def points_tag(t: pa.Table) -> pa.Table:
+        px, py = _snap_points(t, grid)
+        tiles = cut.tile_of_points_px(px, py)
+        return pa.table(
+            {
+                "tile": pa.array(tiles.astype(np.int64), pa.int64()),
+                "is_point": pa.array([True] * len(t), pa.bool_()),
+                "point_id": t["point_id"].cast(pa.int64()).combine_chunks(),
+                "px": pa.array(px, pa.int64()),
+                "py": pa.array(py, pa.int64()),
+                "pk": pa.array([-1] * len(t), pa.int64()),
+                "rings": pa.array([b""] * len(t), pa.large_binary()),
+            }
+        )
+
+    tagged = polys_routed.map_batches(polys_tag, batch_format="pyarrow").union(
+        points_ds.map_batches(points_tag, batch_format="pyarrow")
+    )
+
+    def per_tile(g: pa.Table) -> pa.Table:
+        is_pt = g["is_point"].to_numpy(zero_copy_only=False)
+        out_pid, out_pk = [], []
+        polys = []
+        for i in np.flatnonzero(~is_pt):
+            rings, _ = stages.unpack_rings(g["rings"][int(i)].as_py())
+            bbox = core.bbox_of_rings(rings)
+            polys.append((int(g["pk"][int(i)].as_py()), rings, bbox))
+        if polys:
+            px = g["px"].to_numpy()
+            py = g["py"].to_numpy()
+            pid = g["point_id"].to_numpy()
+            for i in np.flatnonzero(is_pt):
+                x, y = int(px[i]), int(py[i])
+                for pk, rings, (mnx, mny, mxx, mxy) in polys:
+                    if not (mnx <= x <= mxx and mny <= y <= mxy):
+                        continue
+                    if core.point_in_polygon(x, y, rings):
+                        out_pid.append(int(pid[i]))
+                        out_pk.append(pk)
+        return pa.table(
+            {
+                "point_id": pa.array(out_pid, pa.int64()),
+                "pk": pa.array(out_pk, pa.int64()),
+            }
+        )
+
+    return tagged.groupby("tile").map_groups(per_tile, batch_format="pyarrow")
+
+
+def knn_points(points_ds, k: int = 5, radius: float = 0.1,
+               grid: GridConfig | None = None, cut=None,
+               base_level: int = 4):
+    """kNN self-join on a point table (point_id, x, y).
+
+    Cell-expansion candidate recall: every point's home cell plus all leaf
+    cells within `radius` (the quadkey k-ring analogue).  Emits
+    (point_id, neighbor_id, dist, rank, complete) — `complete` is False
+    when the kth neighbour might lie beyond the radius (caller re-runs
+    those points with a larger radius).
+    """
+    import pyarrow.compute as pc
+
+    if grid is None:
+        # derive a grid from the point extent
+        import ray
+
+        parts = points_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "mnx": [float(np.min(t["x"].to_numpy()))],
+                    "mny": [float(np.min(t["y"].to_numpy()))],
+                    "mxx": [float(np.max(t["x"].to_numpy()))],
+                    "mxy": [float(np.max(t["y"].to_numpy()))],
+                }
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        mnx = min(p["mnx"] for p in parts)
+        mny = min(p["mny"] for p in parts)
+        mxx = max(p["mxx"] for p in parts)
+        mxy = max(p["mxy"] for p in parts)
+        grid = stages.grid_from_extent(mnx, mny, mxx, mxy, max((mxx - mnx) / 1e6, 1e-9))
+    r_px = int(np.ceil(radius / grid.precision))
+
+    def route(t: pa.Table) -> pa.Table:
+        px, py = _snap_points(t, grid)
+        home = quadkey.cell_of_point_px(px, py, base_level, grid.span_px)
+        pid = t["point_id"].to_numpy()
+        out = {"cell": [], "point_id": [], "px": [], "py": [], "is_home": []}
+        for i in range(len(t)):
+            cells = quadkey.cells_overlapping_bbox_px(
+                int(px[i]) - r_px, int(py[i]) - r_px,
+                int(px[i]) + r_px, int(py[i]) + r_px,
+                base_level, grid.span_px,
+            )
+            for c in cells.tolist():
+                out["cell"].append(int(np.int64(np.uint64(c) & np.uint64(0x7FFFFFFFFFFFFFFF))))
+                out["point_id"].append(int(pid[i]))
+                out["px"].append(int(px[i]))
+                out["py"].append(int(py[i]))
+                out["is_home"].append(int(c) == int(home[i]))
+        return pa.table(
+            {
+                "cell": pa.array(out["cell"], pa.int64()),
+                "point_id": pa.array(out["point_id"], pa.int64()),
+                "px": pa.array(out["px"], pa.int64()),
+                "py": pa.array(out["py"], pa.int64()),
+                "is_home": pa.array(out["is_home"], pa.bool_()),
+            }
+        )
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        px = g["px"].to_numpy().astype(np.float64)
+        py = g["py"].to_numpy().astype(np.float64)
+        pid = g["point_id"].to_numpy()
+        home = g["is_home"].to_numpy(zero_copy_only=False)
+        # dedup candidates by point_id (a point may be routed twice via
+        # different overlaps at level boundaries)
+        _, first = np.unique(pid, return_index=True)
+        tx, ty, tpid = px[first], py[first], pid[first]
+        out = {"point_id": [], "neighbor_id": [], "dist": [], "rank": [], "complete": []}
+        targets = np.flatnonzero(home)
+        for i in targets:
+            d = np.hypot(tx - px[i], ty - py[i])
+            self_mask = tpid == pid[i]
+            d[self_mask] = np.inf
+            order = np.lexsort((tpid, d))[: k]
+            kth = d[order[-1]] if len(order) else np.inf
+            complete = bool(kth <= r_px)
+            for rank, j in enumerate(order):
+                if not np.isfinite(d[j]):
+                    continue
+                out["point_id"].append(int(pid[i]))
+                out["neighbor_id"].append(int(tpid[j]))
+                out["dist"].append(float(d[j]) * grid.precision)
+                out["rank"].append(rank + 1)
+                out["complete"].append(complete)
+        return pa.table(
+            {
+                "point_id": pa.array(out["point_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "dist": pa.array(out["dist"], pa.float64()),
+                "rank": pa.array(out["rank"], pa.int64()),
+                "complete": pa.array(out["complete"], pa.bool_()),
+            }
+        )
+
+    return (
+        points_ds.map_batches(route, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pyarrow")
+    )
