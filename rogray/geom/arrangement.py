@@ -108,11 +108,31 @@ def attribution(
     return cands[0][1], [p for _, p in cands[1:]]
 
 
+def polyline_to_segments(
+    pts_list: list[np.ndarray], poly_id: int
+) -> tuple[np.ndarray, list[frozenset]]:
+    """Open polylines -> side-0 labelled segments: they node into the
+    arrangement and split faces but never toggle coverage (the reference's
+    companion line layer, view_get_simplified_border_lines...sql)."""
+    segs = []
+    for pts in pts_list:
+        pts = np.asarray(pts, dtype=np.int64)
+        if len(pts) < 2:
+            continue
+        segs.append(np.concatenate([pts[:-1], pts[1:]], axis=1))
+    if not segs:
+        return np.empty((0, 4), dtype=np.int64), []
+    segs = np.concatenate(segs)
+    labels = [frozenset([(poly_id, 0)])] * len(segs)
+    return segs, labels
+
+
 def overlay_tile(
     polys: list[tuple[int, list[np.ndarray]]],
     tile_bounds: tuple[int, int, int, int],
     min_area2_px: float = 0.0,
     area2_fn=None,
+    lines: list[tuple[int, list[np.ndarray]]] | None = None,
 ) -> list[TileFace]:
     """Overlay for one tile.
 
@@ -125,6 +145,8 @@ def overlay_tile(
     seg_parts = [tile_rect_segments(tile_bounds)]
     for pid, rings in polys:
         seg_parts.append(rings_to_segments(rings, pid))
+    for pid, pts in lines or []:
+        seg_parts.append(polyline_to_segments(pts, pid))
     segs = np.concatenate([s for s, _ in seg_parts])
     labels = [l for _, ls in seg_parts for l in ls]
     segs, labels = noding.node_segments(segs, labels)

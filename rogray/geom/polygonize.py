@@ -103,51 +103,76 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
     ang = np.arctan2(dy.astype(np.float64), dx.astype(np.float64))
 
     order = np.lexsort((ang, e_orig))
-    # for each node: contiguous run in `order`
-    starts = np.flatnonzero(np.r_[True, e_orig[order][1:] != e_orig[order][:-1]])
+    # for each node: contiguous run in `order` (vectorized)
+    sorted_nodes = e_orig[order]
+    starts = np.flatnonzero(np.r_[True, sorted_nodes[1:] != sorted_nodes[:-1]])
     ends = np.r_[starts[1:], len(order)]
     node_run_start = np.zeros(len(uniq_pts), dtype=np.int64)
     node_run_end = np.zeros(len(uniq_pts), dtype=np.int64)
-    for s, e in zip(starts, ends):
-        node_run_start[e_orig[order[s]]] = s
-        node_run_end[e_orig[order[s]]] = e
+    node_run_start[sorted_nodes[starts]] = starts
+    node_run_end[sorted_nodes[starts]] = ends
     pos_in_run = np.empty(2 * n, dtype=np.int64)
     pos_in_run[order] = np.arange(len(order))
 
-    def next_edge(e: int) -> int:
-        r = e ^ 1  # twin, outgoing from dest(e)
-        node = e_orig[r]
-        s, t = node_run_start[node], node_run_end[node]
-        p = pos_in_run[r]
-        p2 = t - 1 if p == s else p - 1  # CW neighbour of twin in CCW order
-        return int(order[p2])
+    # next(e) for every directed edge at once: CW neighbour of twin(e)
+    twins = np.arange(2 * n) ^ 1
+    tw_node = e_orig[twins]
+    p = pos_in_run[twins]
+    s_run = node_run_start[tw_node]
+    e_run = node_run_end[tw_node]
+    nxt = order[np.where(p == s_run, e_run - 1, p - 1)]
 
-    # ---- trace cycles ---------------------------------------------------
+    # ---- trace cycles (tight pointer-chase) ----------------------------
     cycle_of = np.full(2 * n, -1, dtype=np.int64)
     cycles_edges: list[list[int]] = []
+    nxt_l = nxt.tolist()
+    cyc_l = cycle_of.tolist()
     for e0 in range(2 * n):
-        if cycle_of[e0] != -1:
+        if cyc_l[e0] != -1:
             continue
         cid = len(cycles_edges)
         path = []
         e = e0
-        while cycle_of[e] == -1:
-            cycle_of[e] = cid
+        while cyc_l[e] == -1:
+            cyc_l[e] = cid
             path.append(e)
-            e = next_edge(e)
+            e = nxt_l[e]
         cycles_edges.append(path)
+    cycle_of = np.asarray(cyc_l, dtype=np.int64)
 
-    # cycle signed areas (exact)
+    # ---- cycle signed areas: vectorized int64 with cycle-local origin ---
+    # contribution of directed edge e (u->v) to its cycle: (u-b) x (v-b)
+    # with b = the cycle's first vertex; diffs are bounded by the data
+    # extent so products fit int64; the exact Python-int path is kept as a
+    # fallback for any cycle flagged by a float magnitude check.
+    ncyc = len(cycles_edges)
+    first_edge = np.asarray([p[0] for p in cycles_edges], dtype=np.int64)
+    bx = uniq_pts[e_orig[first_edge], 0][cycle_of]
+    by = uniq_pts[e_orig[first_edge], 1][cycle_of]
+    ux = uniq_pts[e_orig, 0] - bx
+    uy = uniq_pts[e_orig, 1] - by
+    vx = uniq_pts[e_dest, 0] - bx
+    vy = uniq_pts[e_dest, 1] - by
+    contrib = ux * vy - vx * uy
+    acc = np.zeros(ncyc, dtype=np.int64)
+    np.add.at(acc, cycle_of, contrib)
+    # overflow guard: recompute any suspiciously-large cycle exactly
+    accf = np.zeros(ncyc, dtype=np.float64)
+    np.add.at(accf, cycle_of, contrib.astype(np.float64))
     cycle_area2: dict[int, int] = {}
-    for cid, path in enumerate(cycles_edges):
-        xs = uniq_pts[e_orig[path], 0].astype(object)
-        ys = uniq_pts[e_orig[path], 1].astype(object)
-        x0, y0 = xs[0], ys[0]
-        a = 0
-        for k in range(len(path)):
-            k2 = (k + 1) % len(path)
-            a += (xs[k] - x0) * (ys[k2] - y0) - (xs[k2] - x0) * (ys[k] - y0)
-        cycle_area2[cid] = a
+    for cid in range(ncyc):
+        if abs(accf[cid]) > 2**60 or abs(accf[cid] - acc[cid]) > 1.0:
+            path = cycles_edges[cid]
+            xs = uniq_pts[e_orig[path], 0].astype(object)
+            ys = uniq_pts[e_orig[path], 1].astype(object)
+            x0, y0 = xs[0], ys[0]
+            a = 0
+            for k in range(len(path)):
+                k2 = (k + 1) % len(path)
+                a += (xs[k] - x0) * (ys[k2] - y0) - (xs[k2] - x0) * (ys[k] - y0)
+            cycle_area2[cid] = a
+        else:
+            cycle_area2[cid] = int(acc[cid])
 
     # ---- connected components ------------------------------------------
     parent = np.arange(len(uniq_pts))

@@ -112,3 +112,93 @@ def _collect_doc_map(ds) -> dict:
                 pk = hash(did) & 0x7FFFFFFFFFFFFFFF
             out[pk] = (did, sp)
     return out
+
+
+# ---------------------------------------------------------------------------
+# resumable variant: per-tile checkpointed output (donejobs analogue)
+# ---------------------------------------------------------------------------
+
+
+class _TileOverlayWriter:
+    """TileOverlay that checkpoints each tile's faces (interior rows AND
+    border pieces) atomically before returning them.  A rerun skips tiles
+    whose manifest exists — the reference's `_job_list_donejobs` semantics
+    (cell.sql:125-132) with per-partition lineage+metrics."""
+
+    def __init__(self, grid, utm, min_area, out_dir, cfg_fp):
+        from .. import stages
+
+        self._inner = stages.TileOverlay(grid, utm, min_area)
+        self.out_dir = out_dir
+        self.cfg_fp = cfg_fp
+
+    def __call__(self, group):
+        from ..state import manifest
+
+        table = self._inner(group)
+        if len(group) > 0:
+            tile = int(group["tile"][0].as_py())
+            n_border = int((table["kind"].to_numpy() == 1).sum()) if len(table) else 0
+            manifest.write_tile(
+                self.out_dir,
+                tile,
+                table,
+                self.cfg_fp,
+                {"n_faces": len(table), "n_border_pieces": n_border,
+                 "n_input_rows": len(group)},
+            )
+        return table
+
+
+def resolve_overlap_gap_resumable(
+    ds,
+    out_dir: str,
+    cfg: ResolveConfig | None = None,
+    overlay_concurrency=None,
+):
+    """Checkpointed flagship run: per-tile overlay results are written
+    atomically under ``out_dir``; a rerun recomputes only missing tiles,
+    then the (cheap) border stitch + finalize re-run over the union.
+    Work lost on a crash is bounded by the tiles in flight."""
+    from .. import stages
+    from ..state import manifest
+
+    cfg = cfg or ResolveConfig()
+    plan = prepare(ds, cfg)
+    t = cfg.topology
+    grid = plan.grid
+    fp = manifest.config_fingerprint(cfg)
+
+    done = manifest.completed_tiles(out_dir, fp)
+    unwrapped = ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
+    routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
+    if done:
+        import numpy as np
+        import pyarrow as pa
+
+        done_arr = np.fromiter(done, dtype=np.int64, count=len(done))
+
+        def drop_done(tb: "pa.Table") -> "pa.Table":
+            keep = ~np.isin(tb["tile"].to_numpy(), done_arr)
+            return tb.filter(pa.array(keep))
+
+        routed = routed.map_batches(drop_done, batch_format="pyarrow")
+    pending = routed.groupby("tile").map_groups(
+        _TileOverlayWriter,
+        fn_constructor_args=(grid, t.utm, cfg.clean.min_area_to_keep, out_dir, fp),
+        batch_format="pyarrow",
+        concurrency=overlay_concurrency or (1, 8),
+    )
+    pending.count()  # drive the checkpointing pass
+
+    faces = manifest.read_all(out_dir)
+    stitched = faces.groupby("stitch_key").map_groups(
+        stages.stitch_group, batch_format="pyarrow"
+    )
+    docs_ref = ray.put(_collect_doc_map(ds))
+    return stitched.map_batches(
+        stages.Finalize,
+        fn_constructor_args=(grid, t.utm, docs_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

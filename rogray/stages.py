@@ -121,16 +121,31 @@ class Unwrap:
         for i, wb in enumerate(wkbs):
             if not wb:
                 continue
+            is_line = False
             try:
-                rings_f = wkb.decode_polygon_rings(wb)
+                gtype, parts = wkb.decode(wb)
             except wkb.WkbError:
                 continue
+            if gtype == wkb.LINESTRING:
+                # companion border-line layer (reference AR5 `grense` mode,
+                # overlap_gap_input_t2.sql): lines are noded into the
+                # arrangement but carry no interior - they split faces
+                # without toggling coverage
+                is_line = True
+                rings_f = [parts[0][0]]
+            elif gtype in (wkb.POLYGON, wkb.MULTIPOLYGON):
+                rings_f = [r for poly in (parts if gtype == wkb.MULTIPOLYGON else [parts[0]]) for r in poly]
+            else:
+                continue
             rings = [core.snap(r, g.origin_x, g.origin_y, g.precision) for r in rings_f]
-            rings = [r for r in rings if len(r) >= 3]
+            rings = [r for r in rings if len(r) >= (2 if is_line else 3)]
             if not rings:
                 continue
-            valid = all(core.ring_is_simple(r) for r in rings)
-            rings = arrangement.normalize_rings(rings)
+            if is_line:
+                valid = True
+            else:
+                valid = all(core.ring_is_simple(r) for r in rings)
+                rings = arrangement.normalize_rings(rings)
             mnx, mny, mxx, mxy = core.bbox_of_rings(rings)
             did = doc_ids[i]
             try:
@@ -145,6 +160,7 @@ class Unwrap:
             out["maxx"].append(mxx)
             out["maxy"].append(mxy)
             out["valid"].append(valid)
+            out.setdefault("is_line", []).append(is_line)
             keep_rows.append(i)
         res = pa.table(
             {
@@ -156,6 +172,7 @@ class Unwrap:
                 "maxx": pa.array(out["maxx"], pa.int64()),
                 "maxy": pa.array(out["maxy"], pa.int64()),
                 "valid": pa.array(out["valid"], pa.bool_()),
+                "is_line": pa.array(out.get("is_line", []), pa.bool_()),
             }
         )
         # spans ride along untouched (zero-copy take of the original column)
@@ -295,12 +312,21 @@ class TileOverlay:
         bounds = quadkey.cell_bounds_px(np.uint64(tile), g.span_px)
         pks = group["pk"].to_numpy()
         valid = group["valid"].to_numpy()
+        is_line = (
+            group["is_line"].to_numpy(zero_copy_only=False)
+            if "is_line" in group.column_names
+            else np.zeros(len(group), dtype=bool)
+        )
         valid_of = dict(zip(pks.tolist(), valid.tolist()))
         polys = []
+        lines = []
         rings_col = group["rings"].to_pylist()
         for i in range(len(group)):
             rings, _ = unpack_rings(rings_col[i])
-            polys.append((int(pks[i]), rings))
+            if is_line[i]:
+                lines.append((int(pks[i]), rings))
+            else:
+                polys.append((int(pks[i]), rings))
         if self.min_area > 0:
             if self.utm:
                 min_area2 = 2.0 * self.min_area / (g.precision**2)
@@ -312,7 +338,7 @@ class TileOverlay:
                 )
         else:
             min_area2, area2_fn = 0.0, None
-        faces = arrangement.overlay_tile(polys, bounds, min_area2, area2_fn)
+        faces = arrangement.overlay_tile(polys, bounds, min_area2, area2_fn, lines=lines)
         return faces_to_table(faces, tile, valid_of)
 
 

@@ -240,3 +240,27 @@ class TestOverlayTile:
         # ledger keeps the uncovered contribution for exact coverage fractions
         covered = sum(a for a, c in a1.ledger if 1 in c)
         assert covered == 2 * (80 * 40 - 20)
+
+
+class TestLineLayer:
+    def test_lines_split_faces_without_coverage(self):
+        # a polygon split in two by a companion border line (AR5 mode)
+        polys = [(1, arrangement.normalize_rings([sq(10, 10, 50, 50)]))]
+        line = [np.array([[30, 0], [30, 60]], dtype=np.int64)]
+        faces = arrangement.overlay_tile(
+            polys, (0, 0, 100, 100), lines=[(99, line)]
+        )
+        one_cov = [f for f in faces if f.ledger[0][1] == frozenset([1])]
+        assert len(one_cov) == 2  # polygon split into two faces
+        assert sum(f.area2 for f in one_cov) == 2 * 1600
+        # line pk never appears as covering attribution
+        for f in faces:
+            w, others = arrangement.attribution(f.ledger)
+            assert w != 99 and 99 not in others
+
+    def test_dangling_line_pruned(self):
+        polys = [(1, arrangement.normalize_rings([sq(10, 10, 50, 50)]))]
+        line = [np.array([[20, 20], [40, 40]], dtype=np.int64)]  # ends inside
+        faces = arrangement.overlay_tile(polys, (0, 0, 100, 100), lines=[(99, line)])
+        one_cov = [f for f in faces if f.ledger[0][1] == frozenset([1])]
+        assert len(one_cov) == 1  # dangle does not split anything

@@ -107,3 +107,52 @@ class TestResolve:
                     )
             checked += 1
         assert checked > 50
+
+
+class TestResume:
+    def test_resume_skips_done_tiles(self, docs64, tmp_path):
+        import shutil
+        import os
+        import json
+
+        from rogray.pipelines import resolve
+
+        out_dir = str(tmp_path / "ckpt")
+        cfg = ResolveConfig(
+            topology=TopologyConfig(snap_tolerance=1e-5, max_rows_in_each_cell=8, base_level=2)
+        )
+        df1 = (
+            resolve.resolve_overlap_gap_resumable(docs64, out_dir, cfg)
+            .to_pandas()
+        )
+        tiles = sorted(d for d in os.listdir(out_dir) if d.startswith("tile="))
+        assert len(tiles) > 4
+        # record manifests, then simulate a partial crash: remove 3 tiles
+        kept_stamp = {}
+        for d in tiles:
+            with open(os.path.join(out_dir, d, "_MANIFEST.json")) as f:
+                kept_stamp[d] = json.load(f)["written_at"]
+        for d in tiles[:3]:
+            shutil.rmtree(os.path.join(out_dir, d))
+        df2 = (
+            resolve.resolve_overlap_gap_resumable(docs64, out_dir, cfg)
+            .to_pandas()
+        )
+        # identical final output
+        k1 = sorted(
+            canonical_face_key(r["wkb"], r["winner_pk"], r["other_intersect_id_list"])
+            for _, r in df1.iterrows()
+        )
+        k2 = sorted(
+            canonical_face_key(r["wkb"], r["winner_pk"], r["other_intersect_id_list"])
+            for _, r in df2.iterrows()
+        )
+        assert k1 == k2
+        # finished tiles were NOT recomputed (same manifest timestamp)
+        for d in tiles[3:]:
+            with open(os.path.join(out_dir, d, "_MANIFEST.json")) as f:
+                assert json.load(f)["written_at"] == kept_stamp[d]
+        # the 3 deleted ones were recomputed
+        for d in tiles[:3]:
+            with open(os.path.join(out_dir, d, "_MANIFEST.json")) as f:
+                assert json.load(f)["written_at"] != kept_stamp[d]
