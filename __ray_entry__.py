@@ -156,6 +156,16 @@ def _q_knn(sf_dir: str):
     return knn_points(pts, k=5, radius=0.2, base_level=3)
 
 
+def _q_compare(sf_dir: str):
+    """Before/after QA report (reference A8): overlap area must be 0 after."""
+    from rogray.pipelines import compare, resolve
+
+    docs = _geo_docs(sf_dir)
+    cfg = _geo_cfg()
+    result = resolve.resolve_overlap_gap(docs, cfg)
+    return compare.compare_result(docs, result, cfg)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     import ray.data as rd
 
@@ -194,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_balanced_tiling": _q_tiling,
         "point_in_polygon_join": _q_pip_join,
         "knn_cell_expansion": _q_knn,
+        "compare_result": _q_compare,
         "raster_vectorize": lambda sf: __import__(
             "rogray.raster", fromlist=["vectorize_masks"]
         ).vectorize_masks(_geo_docs(sf)).select_columns(

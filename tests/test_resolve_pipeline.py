@@ -156,3 +156,19 @@ class TestResume:
         for d in tiles[:3]:
             with open(os.path.join(out_dir, d, "_MANIFEST.json")) as f:
                 assert json.load(f)["written_at"] != kept_stamp[d]
+
+
+class TestCompare:
+    def test_overlap_resolved_to_zero(self, docs64):
+        from rogray.pipelines import compare, resolve
+
+        cfg = ResolveConfig(
+            topology=TopologyConfig(snap_tolerance=1e-5, max_rows_in_each_cell=16, base_level=1)
+        )
+        result = resolve.resolve_overlap_gap(docs64, cfg)
+        df = compare.compare_result(docs64, result, cfg)
+        before = df[df["phase"] == "before"].iloc[0]
+        after = df[df["phase"] == "after"].iloc[0]
+        assert before["overlap_area"] > 0
+        assert after["n_overlap_pairs"] == 0
+        assert after["overlap_area"] == 0.0
