@@ -71,6 +71,10 @@ def compare_result(docs_ds, result_ds, cfg: ResolveConfig | None = None) -> pd.D
     """
     cfg = cfg or ResolveConfig()
     before = _summarize(detect.find_overlap_gap(docs_ds, cfg))
+    # pin the (output-sized, small) result once: the detector takes three
+    # passes over its input (extent, histogram, route) and must not re-run
+    # the whole resolve pipeline for each
+    result_ds = result_ds.materialize()
     after = _summarize(detect.find_overlap_gap(_result_as_docs(result_ds), cfg))
     rows = [{"phase": "before", **before}, {"phase": "after", **after}]
     return pd.DataFrame(rows)

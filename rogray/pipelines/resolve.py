@@ -72,25 +72,109 @@ def resolve_overlap_gap(
     # stateless task stages (no reserved actors -> shuffles never starve)
     unwrapped = ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
     routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
-    # the two heavy stateful stages hold the actor pools
+    # leaf markers: every tile of the partition emits its faces even when
+    # it holds no data (gaps spanning empty tiles, exact universe frontier)
+    routed = routed.union(rd.from_arrow(_marker_table(plan)))
+    coarse_level = max(0, t.base_level - 1)
+    # the heavy stateful stage holds the actor pool
     faces = routed.groupby("tile").map_groups(
         stages.TileOverlay,
-        fn_constructor_args=(grid, t.utm, cfg.clean.min_area_to_keep),
+        fn_constructor_args=(grid, t.utm, cfg.clean.min_area_to_keep, coarse_level),
         batch_format="pyarrow",
         concurrency=overlay_concurrency or (1, 8),
     )
-    stitched = faces.groupby("stitch_key").map_groups(
-        stages.stitch_group, batch_format="pyarrow"
+    # two-level border stitch: (signature, coarse cell) groups first, then
+    # only coarse-frontier pieces meet in the global groups — the straggler
+    # group shrinks to frontier chains instead of every border piece
+    st1 = faces.groupby("stitch_key").map_groups(
+        stages.stitch_local, batch_format="pyarrow"
     )
-    # broadcast winner attributes/spans once (scale path: Dataset.join on pk)
-    docs_ref = ray.put(_collect_doc_map(ds))
-    result = stitched.map_batches(
-        stages.Finalize,
-        fn_constructor_args=(grid, t.utm, docs_ref),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+    stitched = st1.groupby("stitch_key").map_groups(
+        stages.stitch_global, batch_format="pyarrow"
     )
-    return result
+    return _finalize_join(stitched, ds, grid, t.utm)
+
+
+def _marker_table(plan: ResolvePlan, exclude: set[int] | None = None):
+    import pyarrow as pa
+
+    from ..spans import SPANS_TYPE
+
+    tiles = [t for t in plan.cut.all_tiles() if not exclude or t not in exclude]
+    n = len(tiles)
+    return pa.table(
+        {
+            "doc_id": pa.array([""] * n, pa.string()),
+            "pk": pa.array([-1] * n, pa.int64()),
+            "rings": pa.array([stages.pack_rings([])] * n, pa.large_binary()),
+            "minx": pa.array([0] * n, pa.int64()),
+            "miny": pa.array([0] * n, pa.int64()),
+            "maxx": pa.array([0] * n, pa.int64()),
+            "maxy": pa.array([0] * n, pa.int64()),
+            "valid": pa.array([True] * n, pa.bool_()),
+            "is_line": pa.array([False] * n, pa.bool_()),
+            "spans": pa.array([[]] * n, SPANS_TYPE),
+            "tile": pa.array(tiles, pa.int64()),
+        }
+    )
+
+
+def _finalize_join(stitched, ds, grid, utm):
+    """JT7 attribute copy as a distributed left hash join on winner_pk
+    (cell.sql:869-873) — no driver-side materialization of the input."""
+
+    def docs_min(t):
+        import json
+
+        import pyarrow as pa
+
+        ids = t["doc_id"].to_pylist()
+        pks = []
+        for did in ids:
+            try:
+                pks.append(int(did))
+            except (TypeError, ValueError):
+                pks.append(hash(did) & 0x7FFFFFFFFFFFFFFF)
+        # Arrow join cannot carry list<struct> payloads: spans ride as JSON
+        spans_json = [
+            json.dumps(
+                [[sp["kind"], sp["text"], sp["media_ref"], sp["offset"]] for sp in doc]
+            )
+            for doc in t["spans"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "pk": pa.array(pks, pa.int64()),
+                "w_doc_id": t["doc_id"].combine_chunks(),
+                "w_spans_json": pa.array(spans_json, pa.string()),
+            }
+        )
+
+    def prep(t):
+        import pyarrow as pa
+
+        # Arrow hash join rejects list payload columns: encode `others`
+        # as a string, drop `cov` (not part of the output schema)
+        others = [",".join(map(str, o or [])) for o in t["others"].to_pylist()]
+        return (
+            t.drop_columns(["cov", "others", "stitch_key", "kind"])
+            .append_column("others_s", pa.array(others, pa.string()))
+        )
+
+    stitched = stitched.map_batches(prep, batch_format="pyarrow")
+    docs_side = ds.map_batches(docs_min, batch_format="pyarrow")
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = stitched.join(
+        docs_side,
+        join_type="left_outer",
+        num_partitions=max(2, cpus // 2),
+        on=("winner_pk",),
+        right_on=("pk",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    return joined.map_batches(
+        stages.FinalizeJoined(grid, utm), batch_format="pyarrow"
+    )
 
 
 def _collect_doc_map(ds) -> dict:
@@ -125,10 +209,10 @@ class _TileOverlayWriter:
     whose manifest exists — the reference's `_job_list_donejobs` semantics
     (cell.sql:125-132) with per-partition lineage+metrics."""
 
-    def __init__(self, grid, utm, min_area, out_dir, cfg_fp):
+    def __init__(self, grid, utm, min_area, coarse_level, out_dir, cfg_fp):
         from .. import stages
 
-        self._inner = stages.TileOverlay(grid, utm, min_area)
+        self._inner = stages.TileOverlay(grid, utm, min_area, coarse_level)
         self.out_dir = out_dir
         self.cfg_fp = cfg_fp
 
@@ -183,22 +267,23 @@ def resolve_overlap_gap_resumable(
             return tb.filter(pa.array(keep))
 
         routed = routed.map_batches(drop_done, batch_format="pyarrow")
+    routed = routed.union(rd.from_arrow(_marker_table(plan, exclude=done)))
+    coarse_level = max(0, t.base_level - 1)
     pending = routed.groupby("tile").map_groups(
         _TileOverlayWriter,
-        fn_constructor_args=(grid, t.utm, cfg.clean.min_area_to_keep, out_dir, fp),
+        fn_constructor_args=(
+            grid, t.utm, cfg.clean.min_area_to_keep, coarse_level, out_dir, fp,
+        ),
         batch_format="pyarrow",
         concurrency=overlay_concurrency or (1, 8),
     )
     pending.count()  # drive the checkpointing pass
 
     faces = manifest.read_all(out_dir)
-    stitched = faces.groupby("stitch_key").map_groups(
-        stages.stitch_group, batch_format="pyarrow"
+    st1 = faces.groupby("stitch_key").map_groups(
+        stages.stitch_local, batch_format="pyarrow"
     )
-    docs_ref = ray.put(_collect_doc_map(ds))
-    return stitched.map_batches(
-        stages.Finalize,
-        fn_constructor_args=(grid, t.utm, docs_ref),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+    stitched = st1.groupby("stitch_key").map_groups(
+        stages.stitch_global, batch_format="pyarrow"
     )
+    return _finalize_join(stitched, ds, grid, t.utm)

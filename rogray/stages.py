@@ -301,16 +301,21 @@ class TileOverlay:
     (cell.sql:189-423,758-913).
     """
 
-    def __init__(self, grid: GridConfig, utm: bool, min_area: float):
+    def __init__(self, grid: GridConfig, utm: bool, min_area: float, coarse_level: int = 0):
         self.grid = grid
         self.utm = utm
         self.min_area = min_area
+        self.coarse_level = coarse_level
 
     def __call__(self, group: pa.Table) -> pa.Table:
         g = self.grid
         tile = int(group["tile"][0].as_py())
         bounds = quadkey.cell_bounds_px(np.uint64(tile), g.span_px)
         pks = group["pk"].to_numpy()
+        # synthetic leaf markers (pk < 0) ensure every leaf tile emits its
+        # faces even with zero data rows -- needed so gaps spanning empty
+        # tiles assemble correctly and the universe frontier is exactly the
+        # tiling-square boundary
         valid = group["valid"].to_numpy()
         is_line = (
             group["is_line"].to_numpy(zero_copy_only=False)
@@ -322,6 +327,8 @@ class TileOverlay:
         lines = []
         rings_col = group["rings"].to_pylist()
         for i in range(len(group)):
+            if pks[i] < 0:
+                continue  # leaf marker row
             rings, _ = unpack_rings(rings_col[i])
             if is_line[i]:
                 lines.append((int(pks[i]), rings))
@@ -339,19 +346,23 @@ class TileOverlay:
         else:
             min_area2, area2_fn = 0.0, None
         faces = arrangement.overlay_tile(polys, bounds, min_area2, area2_fn, lines=lines)
-        return faces_to_table(faces, tile, valid_of)
+        return faces_to_table(faces, tile, valid_of, self.coarse_level)
 
 
 def faces_to_table(
-    faces: list[arrangement.TileFace], tile: int, valid_of: dict[int, bool]
+    faces: list[arrangement.TileFace],
+    tile: int,
+    valid_of: dict[int, bool],
+    coarse_level: int = 0,
 ) -> pa.Table:
+    coarse = int(quadkey.parent(np.asarray([tile], dtype=np.uint64), coarse_level)[0])
     cols = {k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")}
     seq = 0
     for f in faces:
         cov_sorted = sorted(f.cov)
         is_valid = all(valid_of.get(p, True) for p in (f.touches | f.cov))
         if f.touches_border:
-            key = "b:" + ",".join(map(str, cov_sorted))
+            key = f"b:{coarse}:" + ",".join(map(str, cov_sorted))
             cols["tile"].append(tile)
             cols["stitch_key"].append(key)
             cols["kind"].append(1)
@@ -458,19 +469,38 @@ def _heal_crossing_vertices(
     return np.asarray(out_segs, dtype=np.int64).reshape(-1, 4), out_labels
 
 
-def stitch_group(group: pa.Table) -> pa.Table:
-    """Assemble border pieces that share a coverage signature.
+def _face_table(rows: dict) -> pa.Table:
+    return pa.table(
+        {
+            "tile": pa.array(rows["tile"], pa.int64()),
+            "stitch_key": pa.array(rows["stitch_key"], pa.string()),
+            "kind": pa.array(rows["kind"], pa.int8()),
+            "rings": pa.array(rows["rings"], pa.large_binary()),
+            "cov": pa.array(rows["cov"], pa.list_(pa.int64())),
+            "winner_pk": pa.array(rows["winner_pk"], pa.int64()),
+            "others": pa.array(rows["others"], pa.list_(pa.int64())),
+            "is_valid": pa.array(rows["is_valid"], pa.bool_()),
+            "area2": pa.array(rows["area2"], pa.int64()),
+        }
+    )
 
-    Tile-border segments with group faces on both sides cancel; segments
-    whose mask says "pure tile border" and that survive cancellation mark
-    universe frontier — assembled uncovered faces touching one are the
-    world outside the data and are dropped (the reference similarly never
-    emits the universe face; gaps enclosed by data ARE emitted as
-    NULL-attribute rows, resolve_overlap_and_gap_expected:2-8).
+
+def _assemble(group: pa.Table, final: bool) -> pa.Table:
+    """Assemble border pieces sharing a coverage signature (one stitch level).
+
+    Cancels tile-border segments with same-coverage faces on both sides
+    (bit-identical across tiles by the global snap grid), re-nodes
+    T-junctions between different-level tiles, heals crossing vertices and
+    re-polygonizes.
+
+    final=False (local level, pieces grouped by (signature, coarse cell)):
+    assembled faces still touching an uncancelled pure tile border escalate
+    to the global group "g:<cov>"; the rest are final.
+    final=True (global level): uncovered faces still touching a pure tile
+    border are the universe (the tiling square frontier) and are dropped —
+    the reference likewise never emits the universe face; enclosed gaps ARE
+    emitted as NULL-attribute rows (resolve_overlap_and_gap_expected:2-8).
     """
-    kinds = group["kind"].to_numpy()
-    if (kinds == 0).all():
-        return group  # interior faces (final): pass through whole group
     cov = frozenset(int(c) for c in (group["cov"][0].as_py() or []))
     seg_list = []
     mask_list = []
@@ -483,12 +513,11 @@ def stitch_group(group: pa.Table) -> pa.Table:
             nxt = np.roll(r, -1, axis=0)
             seg_list.append(np.concatenate([r, nxt], axis=1))
             mask_list.append(m.astype(np.int64))
+    if not seg_list:
+        return _face_table({k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")})
     segs = np.concatenate(seg_list)
     tileb = np.concatenate(mask_list)
     # --- vectorized pre-cancellation of exact opposite duplicates ---------
-    # same-level tile neighbours produce bit-identical border segments; drop
-    # those pairs before the (expensive) noding so only T-junctions between
-    # different-level tiles reach it.
     side = np.ones(len(segs), dtype=np.int64)
     flip = (segs[:, 0] > segs[:, 2]) | ((segs[:, 0] == segs[:, 2]) & (segs[:, 1] > segs[:, 3]))
     segs = segs.copy()
@@ -498,8 +527,6 @@ def stitch_group(group: pa.Table) -> pa.Table:
     segs, side, tileb = segs[order], side[order], tileb[order]
     same_prev = np.r_[False, np.all(segs[1:] == segs[:-1], axis=1)]
     run_id = np.cumsum(~same_prev)
-    drop = np.zeros(len(segs), dtype=bool)
-    # a run with both orientations is an internal border -> drop whole run
     pos = np.zeros(run_id.max() + 1, dtype=np.int64)
     neg = np.zeros(run_id.max() + 1, dtype=np.int64)
     np.add.at(pos, run_id, (side == 1).astype(np.int64))
@@ -520,26 +547,46 @@ def stitch_group(group: pa.Table) -> pa.Table:
     keep = []
     for k in range(len(segs)):
         if (_GROUP_LBL, 1) in labels[k] and (_GROUP_LBL, -1) in labels[k]:
-            s = segs[k]
-            dropped_pts.add((int(s[0]), int(s[1])))
-            dropped_pts.add((int(s[2]), int(s[3])))
+            sgm = segs[k]
+            dropped_pts.add((int(sgm[0]), int(sgm[1])))
+            dropped_pts.add((int(sgm[2]), int(sgm[3])))
         else:
             keep.append(k)
     segs = segs[keep]
     labels = [labels[k] for k in keep]
     segs, labels = _heal_crossing_vertices(segs, labels, dropped_pts)
     arr = polygonize.polygonize(segs, labels)
-    tile = int(group["tile"][0].as_py())
     min_tile = int(group["tile"].to_numpy().min())
     is_valid = bool(np.all(group["is_valid"].to_numpy()))
     is_gap = len(cov) == 0
     cols = {k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")}
     seq = 0
+
+    def tileb_mask(segidx: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            [1 if any(p == _TILEB_LBL for p, _ in arr.labels[int(i)]) else 0 for i in segidx],
+            dtype=np.uint8,
+        )
+
     for f in arr.faces:
         if _GROUP_LBL not in f.cov:
             continue
-        if is_gap and _TILEB_LBL in f.touches:
-            continue  # universe frontier -> not an enclosed gap
+        frontier = _TILEB_LBL in f.touches
+        if frontier and not final:
+            # escalate to the global stitch with masks preserved
+            masks = [tileb_mask(f.shell_seg)] + [tileb_mask(h) for h in f.holes_seg]
+            cols["tile"].append(min_tile)
+            cols["stitch_key"].append("g:" + ",".join(map(str, sorted(cov))))
+            cols["kind"].append(1)
+            cols["rings"].append(pack_rings([f.shell] + f.holes, masks))
+            cols["cov"].append(sorted(cov))
+            cols["winner_pk"].append(-1)
+            cols["others"].append([])
+            cols["is_valid"].append(is_valid)
+            cols["area2"].append(int(f.area2))
+            continue
+        if frontier and final and is_gap:
+            continue  # universe: outside the data, never emitted
         winner, others = arrangement.attribution([(f.area2, cov)])
         cols["tile"].append(min_tile)
         cols["stitch_key"].append(f"s:{min_tile}:{seq}")
@@ -551,19 +598,31 @@ def stitch_group(group: pa.Table) -> pa.Table:
         cols["others"].append([int(o) for o in others])
         cols["is_valid"].append(is_valid)
         cols["area2"].append(int(f.area2))
-    return pa.table(
-        {
-            "tile": pa.array(cols["tile"], pa.int64()),
-            "stitch_key": pa.array(cols["stitch_key"], pa.string()),
-            "kind": pa.array(cols["kind"], pa.int8()),
-            "rings": pa.array(cols["rings"], pa.large_binary()),
-            "cov": pa.array(cols["cov"], pa.list_(pa.int64())),
-            "winner_pk": pa.array(cols["winner_pk"], pa.int64()),
-            "others": pa.array(cols["others"], pa.list_(pa.int64())),
-            "is_valid": pa.array(cols["is_valid"], pa.bool_()),
-            "area2": pa.array(cols["area2"], pa.int64()),
-        }
-    )
+    return _face_table(cols)
+
+
+def stitch_local(group: pa.Table) -> pa.Table:
+    """Level-1 stitch: groups are (signature, coarse parent cell)."""
+    kinds = group["kind"].to_numpy()
+    if (kinds == 0).all():
+        return group  # interior faces: pass through
+    return _assemble(group, final=False)
+
+
+def stitch_global(group: pa.Table) -> pa.Table:
+    """Level-2 stitch: only coarse-frontier pieces reach here."""
+    kinds = group["kind"].to_numpy()
+    if (kinds == 0).all():
+        return group
+    return _assemble(group, final=True)
+
+
+def stitch_group(group: pa.Table) -> pa.Table:
+    """Single-level stitch (kept for tests / small runs): assemble final."""
+    kinds = group["kind"].to_numpy()
+    if (kinds == 0).all():
+        return group
+    return _assemble(group, final=True)
 
 
 # ---------------------------------------------------------------------------
@@ -624,6 +683,78 @@ class Finalize:
                     [None if int(w) < 0 else int(w) for w in winner], pa.int64()
                 ),
                 "other_intersect_id_list": others.combine_chunks(),
+                "input_geo_is_valid": t["is_valid"].combine_chunks(),
+                "wkb": pa.array(out_wkb, pa.large_binary()),
+                "area": pa.array(out_area, pa.float64()),
+                "tile": t["tile"].combine_chunks(),
+                "spans": pa.array(out_spans, spans_mod.SPANS_TYPE),
+            }
+        )
+
+
+class FinalizeJoined:
+    """Post-join finalizer: stitched face rows joined with (w_doc_id,
+    w_spans) on winner_pk -> final output schema.  Runs as stateless tasks
+    after the distributed hash join (Dataset.join), so no part of the input
+    is ever materialized on the driver."""
+
+    def __init__(self, grid: GridConfig, utm: bool):
+        self.grid = grid
+        self.utm = utm
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        g = self.grid
+        n = len(t)
+        rings_col = t["rings"].to_pylist()
+        winner = t["winner_pk"].to_numpy(zero_copy_only=False)
+        import json
+
+        w_doc = t["w_doc_id"].to_pylist() if "w_doc_id" in t.column_names else [None] * n
+        w_json = t["w_spans_json"].to_pylist() if "w_spans_json" in t.column_names else [None] * n
+        w_spans = [
+            None
+            if j is None
+            else [
+                {"kind": k, "text": x, "media_ref": m, "offset": o}
+                for k, x, m, o in json.loads(j)
+            ]
+            for j in w_json
+        ]
+        out_wkb, out_area, out_docid, out_spans = [], [], [], []
+        for i in range(n):
+            rings, _ = unpack_rings(rings_col[i])
+            rings_f = [core.unsnap(r, g.origin_x, g.origin_y, g.precision) for r in rings]
+            b = wkb.encode_polygon(rings_f)
+            out_wkb.append(b)
+            if self.utm:
+                out_area.append(core.planar_area(rings, g.precision))
+            else:
+                out_area.append(core.geodesic_area(rings, g.origin_x, g.origin_y, g.precision))
+            if winner[i] is None or int(winner[i]) < 0 or w_doc[i] is None:
+                out_docid.append(None)
+                out_spans.append(
+                    [
+                        {
+                            "kind": spans_mod.GEOMETRY_KIND,
+                            "text": b.hex(),
+                            "media_ref": "",
+                            "offset": 0,
+                        }
+                    ]
+                )
+            else:
+                out_docid.append(w_doc[i])
+                out_spans.append(spans_mod.rewrite_geometry_span(w_spans[i], b.hex()))
+        win_col = [None if (w is None or int(w) < 0) else int(w) for w in winner]
+        others = [
+            [int(x) for x in (s or "").split(",") if x]
+            for s in t["others_s"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_docid, pa.string()),
+                "winner_pk": pa.array(win_col, pa.int64()),
+                "other_intersect_id_list": pa.array(others, pa.list_(pa.int64())),
                 "input_geo_is_valid": t["is_valid"].combine_chunks(),
                 "wkb": pa.array(out_wkb, pa.large_binary()),
                 "area": pa.array(out_area, pa.float64()),

@@ -139,3 +139,19 @@ class CutIndex:
             if x1 < minx or x0 > maxx or y1 < miny or y0 > maxy:
                 continue
             self._descend(ch, minx, miny, maxx, maxy, out)
+
+    def all_tiles(self) -> list[int]:
+        """The complete tiling partition of the square: cut leaves plus the
+        non-split cells covering empty regions (descend from the root)."""
+        out: list[int] = []
+        stack = [int(quadkey.encode(0, np.asarray([0]), np.asarray([0]))[0])]
+        while stack:
+            cell = stack.pop()
+            lvl = int(cell >> quadkey.LEVEL_SHIFT)
+            if cell in self.leaves:
+                out.append(cell)
+            elif lvl < self.base_level or cell in self._interior:
+                stack.extend(int(c) for c in quadkey.children(cell))
+            else:
+                out.append(cell)
+        return sorted(out)
