@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(_docs(sf)),
         "dedup_simhash": lambda sf: dedup.simhash_pairs(_docs(sf)),
+        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(_docs(sf)),
         "dedup_embedding_exact": lambda sf: dedup.embedding_neardup_exact(_embs(sf)),
         "dedup_embedding_lsh": lambda sf: dedup.embedding_neardup_pairs(_embs(sf)),
         # --- similarity search ---

@@ -349,3 +349,68 @@ def embedding_neardup_sql(threshold: float = 0.4) -> str:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
     """
+
+
+def _word_ngrams(text: str, n: int = 3) -> set:
+    words = (text or "").lower().split()
+    if len(words) < n:
+        return {tuple(words)} if words else set()
+    return {tuple(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.5):
+    """Exact word-n-gram Jaccard over MinHash-LSH candidate pairs.
+
+    LSH supplies the candidates (high recall at this threshold); the exact
+    verify computes true Jaccard on the two documents' n-gram sets, so the
+    emitted pairs are exact subject to LSH recall.  Texts travel with the
+    band rows only for candidate groups (never a full cross join).
+    """
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        texts = t[col].to_pylist()
+        ids = t["doc_id"].to_pylist()
+        b_band, b_hash, b_id, b_text = [], [], [], []
+        for did, s in zip(ids, texts):
+            sig = _minhash(_shingles(s))
+            for b in range(_BANDS):
+                chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+                b_band.append(b)
+                b_hash.append(int(zlib.crc32(chunk.tobytes())))
+                b_id.append(did)
+                b_text.append(s)
+        return pa.table(
+            {
+                "band": pa.array(b_band, pa.int32()),
+                "bhash": pa.array(b_hash, pa.int64()),
+                "doc_id": pa.array(b_id),
+                "text": pa.array(b_text, pa.string()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").drop_duplicates(subset=["doc_id"])
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_x1000": []})
+        ids = g["doc_id"].tolist()
+        grams = [_word_ngrams(s) for s in g["text"].tolist()]
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(grams[i] & grams[j])
+                union = len(grams[i] | grams[j])
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(int(np.floor(jac * 1000 + 0.5)))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard_x1000": out_j})
+
+    cand = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "bhash"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
