@@ -30,6 +30,7 @@ class TileDetect:
     """groupby(tile).map_groups worker: overlap/gap report for one tile."""
 
     def __init__(self, grid: GridConfig, utm: bool):
+        self.__name__ = "TileDetect"  # map_groups task-fn contract
         self.grid = grid
         self.utm = utm
 
@@ -92,8 +93,5 @@ def find_overlap_gap(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | N
     unwrapped = ds.map_batches(stages.Unwrap(plan.grid), batch_format="pyarrow")
     routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
     return routed.groupby("tile").map_groups(
-        TileDetect,
-        fn_constructor_args=(plan.grid, t.utm),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        TileDetect(plan.grid, t.utm), batch_format="pyarrow"
     )

@@ -75,13 +75,14 @@ def resolve_overlap_gap(
     # leaf markers: every tile of the partition emits its faces even when
     # it holds no data (gaps spanning empty tiles, exact universe frontier)
     routed = routed.union(rd.from_arrow(_marker_table(plan)))
-    coarse_level = max(0, t.base_level - 1)
-    # the heavy stateful stage holds the actor pool
+    coarse_level = _coarse_level(plan, t.base_level)
+    # task-pool stage: the overlay needs no per-actor state (all state is
+    # per tile group), and task pools release CPUs the moment the dataset
+    # finishes - actor pools were observed pinning CPUs after execution,
+    # starving later pipelines in the same session
     faces = routed.groupby("tile").map_groups(
-        stages.TileOverlay,
-        fn_constructor_args=(grid, t.utm, cfg.clean.min_area_to_keep, coarse_level),
+        stages.TileOverlay(grid, t.utm, cfg.clean.min_area_to_keep, coarse_level),
         batch_format="pyarrow",
-        concurrency=overlay_concurrency or (1, 8),
     )
     # two-level border stitch: (signature, coarse cell) groups first, then
     # only coarse-frontier pieces meet in the global groups — the straggler
@@ -93,6 +94,17 @@ def resolve_overlap_gap(
         stages.stitch_global, batch_format="pyarrow"
     )
     return _finalize_join(stitched, ds, grid, t.utm)
+
+
+def _coarse_level(plan: ResolvePlan, base_level: int) -> int:
+    """Level-1 stitch bucket granularity: one level above the typical leaf,
+    so each bucket consolidates a handful of tiles (enough cancellation to
+    shrink the global level) while keeping enough buckets for parallelism."""
+    from ..tiling import quadkey
+
+    lvls = sorted(int(c) >> quadkey.LEVEL_SHIFT for c in plan.cut.leaves) or [base_level]
+    med = lvls[len(lvls) // 2]
+    return max(0, min(med - 1, 10))
 
 
 def _marker_table(plan: ResolvePlan, exclude: set[int] | None = None):
@@ -212,6 +224,8 @@ class _TileOverlayWriter:
     def __init__(self, grid, utm, min_area, coarse_level, out_dir, cfg_fp):
         from .. import stages
 
+        self.__name__ = "TileOverlayWriter"  # map_groups task-fn contract
+
         self._inner = stages.TileOverlay(grid, utm, min_area, coarse_level)
         self.out_dir = out_dir
         self.cfg_fp = cfg_fp
@@ -268,14 +282,12 @@ def resolve_overlap_gap_resumable(
 
         routed = routed.map_batches(drop_done, batch_format="pyarrow")
     routed = routed.union(rd.from_arrow(_marker_table(plan, exclude=done)))
-    coarse_level = max(0, t.base_level - 1)
+    coarse_level = _coarse_level(plan, t.base_level)
     pending = routed.groupby("tile").map_groups(
-        _TileOverlayWriter,
-        fn_constructor_args=(
-            grid, t.utm, cfg.clean.min_area_to_keep, coarse_level, out_dir, fp,
+        _TileOverlayWriter(
+            grid, t.utm, cfg.clean.min_area_to_keep, coarse_level, out_dir, fp
         ),
         batch_format="pyarrow",
-        concurrency=overlay_concurrency or (1, 8),
     )
     pending.count()  # drive the checkpointing pass
 

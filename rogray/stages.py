@@ -302,6 +302,7 @@ class TileOverlay:
     """
 
     def __init__(self, grid: GridConfig, utm: bool, min_area: float, coarse_level: int = 0):
+        self.__name__ = "TileOverlay"  # map_groups task-fn contract
         self.grid = grid
         self.utm = utm
         self.min_area = min_area
@@ -362,7 +363,7 @@ def faces_to_table(
         cov_sorted = sorted(f.cov)
         is_valid = all(valid_of.get(p, True) for p in (f.touches | f.cov))
         if f.touches_border:
-            key = f"b:{coarse}:" + ",".join(map(str, cov_sorted))
+            key = f"b:{coarse}"
             cols["tile"].append(tile)
             cols["stitch_key"].append(key)
             cols["kind"].append(1)
@@ -574,9 +575,12 @@ def _assemble(group: pa.Table, final: bool) -> pa.Table:
         frontier = _TILEB_LBL in f.touches
         if frontier and not final:
             # escalate to the global stitch with masks preserved
+            import zlib as _z
+
             masks = [tileb_mask(f.shell_seg)] + [tileb_mask(h) for h in f.holes_seg]
+            sig_str = ",".join(map(str, sorted(cov)))
             cols["tile"].append(min_tile)
-            cols["stitch_key"].append("g:" + ",".join(map(str, sorted(cov))))
+            cols["stitch_key"].append(f"g:{_z.crc32(sig_str.encode()) % 64}")
             cols["kind"].append(1)
             cols["rings"].append(pack_rings([f.shell] + f.holes, masks))
             cols["cov"].append(sorted(cov))
@@ -589,7 +593,7 @@ def _assemble(group: pa.Table, final: bool) -> pa.Table:
             continue  # universe: outside the data, never emitted
         winner, others = arrangement.attribution([(f.area2, cov)])
         cols["tile"].append(min_tile)
-        cols["stitch_key"].append(f"s:{min_tile}:{seq}")
+        cols["stitch_key"].append(f"s:{min_tile}")
         seq += 1
         cols["kind"].append(0)
         cols["rings"].append(pack_rings([f.shell] + f.holes))
@@ -601,20 +605,39 @@ def _assemble(group: pa.Table, final: bool) -> pa.Table:
     return _face_table(cols)
 
 
+def _assemble_bucket(group: pa.Table, final: bool) -> pa.Table:
+    """Split a bucket of border pieces by coverage signature and assemble
+    each signature independently; one Ray group handles many signatures so
+    the per-group scheduling overhead stays off the hot path."""
+    covs = group["cov"].to_pylist()
+    by_sig: dict[tuple, list[int]] = {}
+    for i, c in enumerate(covs):
+        by_sig.setdefault(tuple(c or []), []).append(i)
+    outs = []
+    for sig in sorted(by_sig):
+        idx = by_sig[sig]
+        sub = group.take(pa.array(idx, pa.int64()))
+        outs.append(_assemble(sub, final=final))
+    outs = [o for o in outs if len(o)]
+    if not outs:
+        return _face_table({k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")})
+    return pa.concat_tables(outs)
+
+
 def stitch_local(group: pa.Table) -> pa.Table:
-    """Level-1 stitch: groups are (signature, coarse parent cell)."""
+    """Level-1 stitch: one bucket per coarse parent cell."""
     kinds = group["kind"].to_numpy()
     if (kinds == 0).all():
         return group  # interior faces: pass through
-    return _assemble(group, final=False)
+    return _assemble_bucket(group, final=False)
 
 
 def stitch_global(group: pa.Table) -> pa.Table:
-    """Level-2 stitch: only coarse-frontier pieces reach here."""
+    """Level-2 stitch: hashed global buckets of coarse-frontier pieces."""
     kinds = group["kind"].to_numpy()
     if (kinds == 0).all():
         return group
-    return _assemble(group, final=True)
+    return _assemble_bucket(group, final=True)
 
 
 def stitch_group(group: pa.Table) -> pa.Table:
@@ -622,7 +645,7 @@ def stitch_group(group: pa.Table) -> pa.Table:
     kinds = group["kind"].to_numpy()
     if (kinds == 0).all():
         return group
-    return _assemble(group, final=True)
+    return _assemble_bucket(group, final=True)
 
 
 # ---------------------------------------------------------------------------
