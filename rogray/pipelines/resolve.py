@@ -40,11 +40,14 @@ def prepare(ds, cfg: ResolveConfig) -> ResolvePlan:
     """Init stage (analogue of resolve_overlap_gap_init, init.sql:4-293):
     global snap grid from the data extent + content-balanced tile cut."""
     t = cfg.topology
-    mnx, mny, mxx, mxy = stages.extent_of_docs(ds)
-    grid = stages.grid_from_extent(mnx, mny, mxx, mxy, t.snap_tolerance)
-    unwrapped = ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
+    if t.utm:
+        mnx, mny, mxx, mxy = stages.extent_of_docs(ds)
+        grid = stages.grid_from_extent(mnx, mny, mxx, mxy, t.snap_tolerance)
+    else:
+        # lon/lat: fixed world frame, no extent pass needed
+        grid = stages.world_grid(t.snap_tolerance)
     cut = stages.compute_cut(
-        unwrapped,
+        ds,
         grid,
         t.base_level,
         t.base_level + t.histogram_extra_levels,
@@ -187,27 +190,6 @@ def _finalize_join(stitched, ds, grid, utm):
     return joined.map_batches(
         stages.FinalizeJoined(grid, utm), batch_format="pyarrow"
     )
-
-
-def _collect_doc_map(ds) -> dict:
-    """pk -> (doc_id, spans) for the attribute-copy join.
-
-    NOTE scale: fine while the winner side fits the object store (it is
-    broadcast once via ray.put, read per actor).  For inputs beyond that,
-    switch resolve_overlap_gap to Dataset.join(faces, docs, on='pk') —
-    tracked in SURVEY.md section 7.4.
-    """
-    out = {}
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        ids = batch["doc_id"].to_pylist()
-        spans = batch["spans"].to_pylist()
-        for did, sp in zip(ids, spans):
-            try:
-                pk = int(did)
-            except (TypeError, ValueError):
-                pk = hash(did) & 0x7FFFFFFFFFFFFFFF
-            out[pk] = (did, sp)
-    return out
 
 
 # ---------------------------------------------------------------------------

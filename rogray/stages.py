@@ -3,22 +3,33 @@
 Stage graph (pipelines/resolve.py wires these together):
 
     read_parquet(documents)
-      -> Unwrap            map_batches actor pool: spans -> snapped rings
+      -> Unwrap            tasks: spans -> snapped rings
       -> (histogram pass)  partial counts per fine cell -> groupby sum ->
                            driver builds the content-balanced cut (tiny)
-      -> Route             map_batches actor pool: 1 row per (tile, polygon)
-      -> groupby(tile).map_groups(TileOverlay)   the one big shuffle
-      -> groupby(stitch_key).map_groups(stitch_group)  border-band shuffle
-      -> Finalize          map_batches: px rings -> WKB, attrs + span rewrite
+      -> Route             tasks: 1 row per (tile, polygon) + leaf markers
+      -> groupby(tile).map_groups(TileOverlay)         the one big shuffle
+      -> groupby(stitch_key).map_groups(stitch_local)  per-coarse-cell stitch
+      -> groupby(stitch_key).map_groups(stitch_global) frontier-only stitch
+      -> left hash join on winner_pk -> FinalizeJoined
 
-Interior faces get a unique stitch_key (group of one, passed through), so
-the whole pipeline is one linear stream — no branch, no materialize().
-Border faces group by their coverage signature; tile-border segments that
-have same-coverage faces on both sides cancel exactly (both tiles computed
+Interior faces keep a per-tile stitch key (pass through both stitch
+shuffles wholesale); border pieces bucket per coarse cell and assemble
+per coverage signature inside the bucket: tile-border segments with
+same-coverage faces on both sides cancel exactly (both tiles computed
 bit-identical snapped coordinates), re-noding handles T-junctions between
-tiles at different quadtree levels, and assembled regions re-polygonize.
-This replaces the reference's serial master-topology merge + JT2..JT6
-border passes (function_resolve_overlap_gap_run.sql:200-446).
+different-level tiles, crossing-vertex healing removes the split
+artifacts, and assembled regions re-polygonize.  Faces still touching an
+uncancelled border escalate to 64 hashed global buckets; at the global
+level, uncovered faces still touching a pure tile border are the universe
+and are dropped.  This replaces the reference's serial master-topology
+merge + JT2..JT6 border passes (function_resolve_overlap_gap_run.sql:200-446).
+
+All per-record stages run as TASK pools: the overlay holds no per-actor
+state (everything is per tile group), and task pools release CPUs the
+moment a dataset finishes — actor pools were observed pinning CPUs after
+execution, starving later pipelines sharing the session.  Actor pools
+remain where per-actor state is real (multimodal decode, resumable
+writer).
 """
 
 from __future__ import annotations
@@ -210,6 +221,57 @@ def extent_of_docs(ds) -> tuple[float, float, float, float]:
     return mnx, mny, mxx, mxy
 
 
+def world_grid(precision: float) -> GridConfig:
+    """Fixed lon/lat world frame: origin (-181, -91), power-of-two span
+    covering the globe with margin.  Using a FIXED frame (like H3/S2 cell
+    ids) means no extent pass is needed and every dataset snaps to the
+    same global grid."""
+    span_px = 1
+    need = int(512.0 / precision) + 2
+    while span_px < need:
+        span_px *= 2
+    if span_px > core.MAX_SPAN_PX:
+        raise ValueError(f"precision {precision} too fine for the world frame")
+    return GridConfig(-181.0, -91.0, span_px * precision, precision)
+
+
+def histogram_cells(ds, grid: GridConfig, fine_level: int):
+    """Cheap histogram pass: decode -> centroid fine cell partial counts.
+    Skips the full unwrap work (validity O(k^2), packing) because only the
+    bbox centre is needed for content balancing."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        wkbs = spans_mod.extract_geometry_wkb(t["spans"])
+        cx_list, cy_list = [], []
+        for wb in wkbs:
+            if not wb:
+                continue
+            try:
+                rings = wkb.decode_polygon_rings(wb)
+            except wkb.WkbError:
+                try:
+                    gtype, parts = wkb.decode(wb)
+                except wkb.WkbError:
+                    continue
+                if gtype != wkb.LINESTRING:
+                    continue
+                rings = [parts[0][0]]
+            mnx = min(float(r[:, 0].min()) for r in rings)
+            mny = min(float(r[:, 1].min()) for r in rings)
+            mxx = max(float(r[:, 0].max()) for r in rings)
+            mxy = max(float(r[:, 1].max()) for r in rings)
+            cx_list.append((mnx + mxx) / 2)
+            cy_list.append((mny + mxy) / 2)
+        if not cx_list:
+            return pa.table({"cell": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        g = core.snap(np.stack([cx_list, cy_list], axis=1), grid.origin_x, grid.origin_y, grid.precision)
+        cells = quadkey.cell_of_point_px(g[:, 0], g[:, 1], fine_level, grid.span_px)
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table({"cell": u.astype(np.int64), "n": c})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
 def grid_from_extent(
     minx: float, miny: float, maxx: float, maxy: float, precision: float
 ) -> GridConfig:
@@ -234,22 +296,14 @@ def grid_from_extent(
 # ---------------------------------------------------------------------------
 
 
-def compute_cut(unwrapped, grid: GridConfig, base_level: int, fine_level: int, max_rows: int) -> balance.CutIndex:
-    span_px = grid.span_px
+def compute_cut(docs_ds, grid: GridConfig, base_level: int, fine_level: int, max_rows: int) -> balance.CutIndex:
     fine_level = min(fine_level, grid.max_level())
     base_level = min(base_level, fine_level)
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        cx = (t["minx"].to_numpy() + t["maxx"].to_numpy()) // 2
-        cy = (t["miny"].to_numpy() + t["maxy"].to_numpy()) // 2
-        cells = quadkey.cell_of_point_px(cx, cy, fine_level, span_px)
-        u, c = np.unique(cells, return_counts=True)
-        return pa.table({"cell": u.astype(np.int64), "n": c})
 
     from ray.data.aggregate import Sum
 
     rows = (
-        unwrapped.map_batches(hist_partial, batch_format="pyarrow")
+        histogram_cells(docs_ds, grid, fine_level)
         .groupby("cell")
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
@@ -257,7 +311,7 @@ def compute_cut(unwrapped, grid: GridConfig, base_level: int, fine_level: int, m
     cells = np.array([r["cell"] for r in rows], dtype=np.uint64)
     counts = np.array([r["n"] for r in rows], dtype=np.int64)
     cut = balance.build_cut(cells, counts, base_level, fine_level, max_rows)
-    return balance.CutIndex(cut, base_level, fine_level, span_px)
+    return balance.CutIndex(cut, base_level, fine_level, grid.span_px)
 
 
 class Route:
@@ -356,7 +410,14 @@ def faces_to_table(
     valid_of: dict[int, bool],
     coarse_level: int = 0,
 ) -> pa.Table:
-    coarse = int(quadkey.parent(np.asarray([tile], dtype=np.uint64), coarse_level)[0])
+    tile_level = int(np.uint64(tile) >> np.uint64(quadkey.LEVEL_SHIFT))
+    # tiles shallower than the coarse level are their own bucket; their
+    # borders with deeper neighbours escalate to the global stitch instead
+    coarse = int(
+        quadkey.parent(
+            np.asarray([tile], dtype=np.uint64), min(coarse_level, tile_level)
+        )[0]
+    )
     cols = {k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")}
     seq = 0
     for f in faces:
@@ -651,68 +712,6 @@ def stitch_group(group: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 # finalize: px rings -> WKB + areas + winner attributes / span rewrite
 # ---------------------------------------------------------------------------
-
-
-class Finalize:
-    """map_batches actor pool: the JT7 attribute-copy join
-    (cell.sql:869-873) realised as a broadcast lookup (winner docs shipped
-    once per actor via ray.put; at scale swap for Dataset.join on pk)."""
-
-    def __init__(self, grid: GridConfig, utm: bool, docs_ref):
-        import ray
-
-        self.grid = grid
-        self.utm = utm
-        self.docs = ray.get(docs_ref) if docs_ref is not None else {}
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        g = self.grid
-        n = len(t)
-        rings_col = t["rings"].to_pylist()
-        winner = t["winner_pk"].to_numpy()
-        out_wkb, out_area, out_docid, out_spans = [], [], [], []
-        for i in range(n):
-            rings, _ = unpack_rings(rings_col[i])
-            rings_f = [core.unsnap(r, g.origin_x, g.origin_y, g.precision) for r in rings]
-            b = wkb.encode_polygon(rings_f)
-            out_wkb.append(b)
-            if self.utm:
-                out_area.append(core.planar_area(rings, g.precision))
-            else:
-                out_area.append(core.geodesic_area(rings, g.origin_x, g.origin_y, g.precision))
-            pk = int(winner[i])
-            doc = self.docs.get(pk)
-            if doc is None:
-                out_docid.append(None)
-                out_spans.append(
-                    [
-                        {
-                            "kind": spans_mod.GEOMETRY_KIND,
-                            "text": b.hex(),
-                            "media_ref": "",
-                            "offset": 0,
-                        }
-                    ]
-                )
-            else:
-                did, spans = doc
-                out_docid.append(did)
-                out_spans.append(spans_mod.rewrite_geometry_span(spans, b.hex()))
-        others = t["others"]
-        return pa.table(
-            {
-                "doc_id": pa.array(out_docid, pa.string()),
-                "winner_pk": pa.array(
-                    [None if int(w) < 0 else int(w) for w in winner], pa.int64()
-                ),
-                "other_intersect_id_list": others.combine_chunks(),
-                "input_geo_is_valid": t["is_valid"].combine_chunks(),
-                "wkb": pa.array(out_wkb, pa.large_binary()),
-                "area": pa.array(out_area, pa.float64()),
-                "tile": t["tile"].combine_chunks(),
-                "spans": pa.array(out_spans, spans_mod.SPANS_TYPE),
-            }
-        )
 
 
 class FinalizeJoined:
