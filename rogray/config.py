@@ -72,7 +72,11 @@ class TopologyConfig:
     utm: bool = False  # True: planar metric CRS; False: lon/lat degrees
     max_rows_in_each_cell: int = 5000  # quadtree split threshold (run.sql:23)
     base_level: int = 3  # coarsest tile level considered
-    histogram_extra_levels: int = 6  # histogram depth below base_level
+    # histogram depth below base_level: deep enough that fine cells are much
+    # smaller than the data extent even on the fixed world frame; occupied
+    # fine cells are bounded by the row count (pre-aggregated per batch),
+    # so depth is cheap.  (At 10^12 rows switch to a two-stage histogram.)
+    histogram_extra_levels: int = 12
 
 
 @dataclass(frozen=True)

@@ -325,7 +325,7 @@ def _near_collinear(a: np.ndarray, v: np.ndarray, b: np.ndarray) -> bool:
     cr = float((int(v[0]) - int(a[0])) * (int(b[1]) - int(a[1]))
                - (int(v[1]) - int(a[1])) * (int(b[0]) - int(a[0])))
     ab = float(np.hypot(float(b[0] - a[0]), float(b[1] - a[1])))
-    return ab > 0 and abs(cr) <= 0.75 * ab
+    return ab > 0 and abs(cr) <= 1.5 * ab
 
 
 def heal_border_touch_vertices(

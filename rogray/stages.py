@@ -506,7 +506,9 @@ def _heal_crossing_vertices(
                 continue
             cr = (v[0] - a[0]) * (b[1] - a[1]) - (v[1] - a[1]) * (b[0] - a[0])
             ab = float(np.hypot(b[0] - a[0], b[1] - a[1]))
-            if ab == 0 or abs(cr) > 0.75 * ab:
+            # 1.5 px: crossing rounding (0.5) can compound with hot-pixel
+            # snapping and chained splits along one original edge
+            if ab == 0 or abs(cr) > 1.5 * ab:
                 continue
             # side of the group along direction a->v on s1 (flip if canonical
             # direction of s1 is v->a)
@@ -591,9 +593,15 @@ def _assemble(group: pa.Table, final: bool) -> pa.Table:
     run_id = np.cumsum(~same_prev)
     pos = np.zeros(run_id.max() + 1, dtype=np.int64)
     neg = np.zeros(run_id.max() + 1, dtype=np.int64)
+    brd = np.zeros(run_id.max() + 1, dtype=np.int64)
     np.add.at(pos, run_id, (side == 1).astype(np.int64))
     np.add.at(neg, run_id, (side == -1).astype(np.int64))
-    both = (pos[run_id] > 0) & (neg[run_id] > 0)
+    np.add.at(brd, run_id, (tileb == 0).astype(np.int64))
+    # cancel ONLY pure tile-border pairs: a zero-width collapsed REAL edge
+    # also appears with both orientations in one signature group, but it is
+    # genuine geometry separating two same-coverage faces (e.g. an enclosed
+    # gap from the outside) and must survive
+    both = (pos[run_id] > 0) & (neg[run_id] > 0) & (brd[run_id] == 0)
     dropped_pts = set(
         map(tuple, np.concatenate([segs[both][:, :2], segs[both][:, 2:]]).tolist())
     )
@@ -605,10 +613,15 @@ def _assemble(group: pa.Table, final: bool) -> pa.Table:
             lab.append((_TILEB_LBL, 1))
         lab_list.append(frozenset(lab))
     segs, labels = noding.node_segments(segs, lab_list)
-    # cancel T-junction remainders: group on both sides after noding
+    # cancel T-junction remainders: group on both sides after noding AND
+    # pure tile border (same degenerate-real-edge caveat as above)
     keep = []
     for k in range(len(segs)):
-        if (_GROUP_LBL, 1) in labels[k] and (_GROUP_LBL, -1) in labels[k]:
+        if (
+            (_GROUP_LBL, 1) in labels[k]
+            and (_GROUP_LBL, -1) in labels[k]
+            and any(p == _TILEB_LBL for p, _ in labels[k])
+        ):
             sgm = segs[k]
             dropped_pts.add((int(sgm[0]), int(sgm[1])))
             dropped_pts.add((int(sgm[2]), int(sgm[3])))
