@@ -296,20 +296,39 @@ def grid_from_extent(
 # ---------------------------------------------------------------------------
 
 
-def compute_cut(docs_ds, grid: GridConfig, base_level: int, fine_level: int, max_rows: int) -> balance.CutIndex:
+def compute_cut(
+    docs_ds,
+    grid: GridConfig,
+    base_level: int,
+    fine_level: int,
+    max_rows: int,
+    sample_target: int = 200_000,
+) -> balance.CutIndex:
+    """Content-balanced cut from a (sampled) centroid histogram.
+
+    The cut only affects performance, never results (the output is
+    tiling-independent by construction and by test), so at scale the
+    histogram reads a seeded sample and scales the counts — one cheap
+    metadata count() plus a fractional read instead of a full pass.
+    """
     fine_level = min(fine_level, grid.max_level())
     base_level = min(base_level, fine_level)
 
     from ray.data.aggregate import Sum
 
+    n_rows = docs_ds.count()  # parquet metadata, no data read
+    frac = min(1.0, sample_target / max(1, n_rows))
+    hist_ds = docs_ds if frac >= 1.0 else docs_ds.random_sample(frac, seed=42)
     rows = (
-        histogram_cells(docs_ds, grid, fine_level)
+        histogram_cells(hist_ds, grid, fine_level)
         .groupby("cell")
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
     )
     cells = np.array([r["cell"] for r in rows], dtype=np.uint64)
     counts = np.array([r["n"] for r in rows], dtype=np.int64)
+    if frac < 1.0:
+        counts = np.maximum(1, (counts / frac).astype(np.int64))
     cut = balance.build_cut(cells, counts, base_level, fine_level, max_rows)
     return balance.CutIndex(cut, base_level, fine_level, grid.span_px)
 
