@@ -205,6 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_in_polygon_join": _q_pip_join,
         "knn_cell_expansion": _q_knn,
         "compare_result": _q_compare,
+        "smooth_lines": lambda sf: __import__(
+            "rogray.spatial_query", fromlist=["smooth_lines"]
+        ).smooth_lines(_geo_docs(sf), simplify_tolerance=1e-4, chaikins_iterations=1),
         "raster_vectorize": lambda sf: __import__(
             "rogray.raster", fromlist=["vectorize_masks"]
         ).vectorize_masks(_geo_docs(sf)).select_columns(

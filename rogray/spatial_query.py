@@ -207,3 +207,51 @@ def knn_points(points_ds, k: int = 5, radius: float = 0.1,
         .groupby("cell")
         .map_groups(per_cell, batch_format="pyarrow")
     )
+
+
+def smooth_lines(ds, simplify_tolerance: float = 0.0, chaikins_iterations: int = 1):
+    """Line smoothing operator (reference S1/S2 exposed as a Dataset stage):
+    LineString geometry spans are Douglas-Peucker simplified and
+    chaikins-acute-angle smoothed; output (doc_id, n_points_in,
+    n_points_out, wkb_hex)."""
+    from .geom import simplify as simp
+    from .geom import wkb as wkb_mod
+    from . import spans as spans_mod
+
+    def fn(t: pa.Table) -> pa.Table:
+        wkbs = spans_mod.extract_geometry_wkb(t["spans"])
+        ids = t["doc_id"].to_pylist()
+        out = {"doc_id": [], "n_points_in": [], "n_points_out": [], "wkb_hex": []}
+        for did, wb in zip(ids, wkbs):
+            if not wb:
+                continue
+            try:
+                gtype, parts = wkb_mod.decode(wb)
+            except wkb_mod.WkbError:
+                continue
+            if gtype == wkb_mod.LINESTRING:
+                line = parts[0][0]
+            elif gtype == wkb_mod.POLYGON:
+                line = parts[0][0]  # smooth the exterior ring as a line
+            else:
+                continue
+            n_in = len(line)
+            outl = line
+            if simplify_tolerance > 0:
+                outl = simp.douglas_peucker(outl, simplify_tolerance)
+            if chaikins_iterations > 0:
+                outl = simp.chaikins_acute_angle(outl, n_iterations=chaikins_iterations)
+            out["doc_id"].append(did)
+            out["n_points_in"].append(n_in)
+            out["n_points_out"].append(len(outl))
+            out["wkb_hex"].append(wkb_mod.encode_linestring(outl).hex())
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "n_points_in": pa.array(out["n_points_in"], pa.int64()),
+                "n_points_out": pa.array(out["n_points_out"], pa.int64()),
+                "wkb_hex": pa.array(out["wkb_hex"], pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

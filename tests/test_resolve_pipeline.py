@@ -172,3 +172,69 @@ class TestCompare:
         assert before["overlap_area"] > 0
         assert after["n_overlap_pairs"] == 0
         assert after["overlap_area"] == 0.0
+
+
+class TestUtmMode:
+    def test_utm_resolve_matches_degree_structure(self, ray_session):
+        """The reference's t3 fixture: same data in a metric CRS
+        (resolve_overlap_and_gap.sql:61-94).  We scale the degree fixture
+        into fake metres and check the same face structure comes out of
+        the utm=True path (planar areas, data-extent grid)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from rogray import sources
+        from rogray import spans as spans_mod
+        from rogray.geom import wkb
+        from rogray.pipelines import resolve
+
+        t = pq.read_table(sources.docs_path_for("x", 64))
+        span_lists = []
+        for doc in t["spans"].to_pylist():
+            new_doc = []
+            for s in doc:
+                if s["kind"] == "geometry":
+                    rings = wkb.decode_polygon_rings(bytes.fromhex(s["text"]))
+                    # fake 'utm': degrees -> metres-ish scale
+                    rings_m = [
+                        (r - np.array([5.0, 58.0])) * 100_000.0 for r in rings
+                    ]
+                    s = {**s, "text": wkb.encode_polygon(rings_m).hex()}
+                new_doc.append(s)
+            span_lists.append(new_doc)
+        utm_tbl = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "spans": pa.array(
+                    [
+                        [dict(x) for x in doc]
+                        for doc in span_lists
+                    ],
+                    spans_mod.SPANS_TYPE,
+                ),
+            }
+        )
+        ds = rd.from_arrow(utm_tbl)
+        from rogray.config import ResolveConfig, TopologyConfig
+
+        cfg = ResolveConfig(
+            topology=TopologyConfig(
+                snap_tolerance=1.0, utm=True, max_rows_in_each_cell=16, base_level=1
+            )
+        )
+        df = resolve.resolve_overlap_gap(ds, cfg).to_pandas()
+        cfg_deg = ResolveConfig(
+            topology=TopologyConfig(snap_tolerance=1e-5, max_rows_in_each_cell=16, base_level=1)
+        )
+        deg = resolve.resolve_overlap_gap(
+            rd.read_parquet(sources.docs_path_for("x", 64)), cfg_deg
+        ).to_pandas()
+        # identical face structure: same count, same attribution multiset
+        assert len(df) == len(deg)
+        a1 = sorted((r["winner_pk"] if r["winner_pk"] == r["winner_pk"] else -1, tuple(r["other_intersect_id_list"])) for _, r in df.iterrows())
+        a2 = sorted((r["winner_pk"] if r["winner_pk"] == r["winner_pk"] else -1, tuple(r["other_intersect_id_list"])) for _, r in deg.iterrows())
+        assert a1 == a2
+        # planar areas in m^2: 1 deg ~ 100 km here
+        assert df["area"].sum() > 1e6
