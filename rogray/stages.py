@@ -349,8 +349,15 @@ class Route:
         mny = t["miny"].to_numpy()
         mxx = t["maxx"].to_numpy()
         mxy = t["maxy"].to_numpy()
-        idx_list, tile_list = [], []
-        for i in range(len(t)):
+        # fast path (vectorized): bbox corners land in the same leaf tile ->
+        # exactly one destination; only border-crossing rows take the
+        # Python tree walk
+        lo = self.cut.tile_of_points_px(mnx, mny)
+        hi = self.cut.tile_of_points_px(mxx, mxy)
+        single = lo == hi
+        idx_list = np.flatnonzero(single).tolist()
+        tile_list = lo[single].astype(np.int64).tolist()
+        for i in np.flatnonzero(~single).tolist():
             for tile in self.cut.tiles_of_bbox_px(mnx[i], mny[i], mxx[i], mxy[i]):
                 idx_list.append(i)
                 tile_list.append(int(tile))
