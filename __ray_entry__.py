@@ -201,6 +201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resolve_overlap_gap": _q_resolve,
         "resolve_overlap_gap_summary": _q_resolve_summary,
         "find_overlap_gap": _q_detect,
+        "edge_attributes": lambda sf: __import__(
+            "rogray.pipelines.detect", fromlist=["extract_edges"]
+        ).extract_edges(_geo_docs(sf), _geo_cfg()),
         "content_balanced_tiling": _q_tiling,
         "point_in_polygon_join": _q_pip_join,
         "knn_cell_expansion": _q_knn,

@@ -95,3 +95,115 @@ def find_overlap_gap(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | N
     return routed.groupby("tile").map_groups(
         TileDetect(plan.grid, t.utm), batch_format="pyarrow"
     )
+
+
+class TileEdges:
+    """groupby(tile).map_groups worker: the topology EDGE listing.
+
+    Reference analogue: the edge_data + edge_attributes tables of the AR5
+    attribute mode (resolve_overlap_and_gap_expected:36-103 lists per-edge
+    lengths with source attribution).  Emits one row per noded arrangement
+    segment owned by this tile (midpoint-in-tile ownership so shared
+    border segments appear exactly once globally): left/right coverage,
+    source polygon/line pks from the labels, and length.
+    """
+
+    def __init__(self, grid: GridConfig, utm: bool):
+        self.__name__ = "TileEdges"
+        self.grid = grid
+        self.utm = utm
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import math
+
+        from ..geom import arrangement as arr_mod
+        from ..geom import noding, polygonize
+
+        g = self.grid
+        tile = int(group["tile"][0].as_py())
+        x0, y0, x1, y1 = quadkey.cell_bounds_px(np.uint64(tile), g.span_px)
+        pks = group["pk"].to_numpy()
+        is_line = (
+            group["is_line"].to_numpy(zero_copy_only=False)
+            if "is_line" in group.column_names
+            else np.zeros(len(group), dtype=bool)
+        )
+        rings_col = group["rings"].to_pylist()
+        seg_parts = []
+        for i in range(len(group)):
+            if pks[i] < 0:
+                continue
+            rings, _ = stages.unpack_rings(rings_col[i])
+            if is_line[i]:
+                seg_parts.append(arr_mod.polyline_to_segments(rings, int(pks[i])))
+            else:
+                seg_parts.append(
+                    arr_mod.rings_to_segments(arr_mod.normalize_rings(rings), int(pks[i]))
+                )
+        if not seg_parts:
+            return pa.table(
+                {
+                    "tile": pa.array([], pa.int64()),
+                    "x1": pa.array([], pa.int64()),
+                    "y1": pa.array([], pa.int64()),
+                    "x2": pa.array([], pa.int64()),
+                    "y2": pa.array([], pa.int64()),
+                    "length": pa.array([], pa.float64()),
+                    "left_cov": pa.array([], pa.list_(pa.int64())),
+                    "right_cov": pa.array([], pa.list_(pa.int64())),
+                    "source_pks": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        segs = np.concatenate([s for s, _ in seg_parts])
+        labels = [l for _, ls in seg_parts for l in ls]
+        segs, labels = noding.node_segments(segs, labels)
+        arr = polygonize.polygonize(segs, labels)
+        out = {k: [] for k in ("x1", "y1", "x2", "y2", "length", "left_cov", "right_cov", "source_pks")}
+        for k in range(len(arr.segs)):
+            s = arr.segs[k]
+            mx = (int(s[0]) + int(s[2])) / 2.0
+            my = (int(s[1]) + int(s[3])) / 2.0
+            # midpoint-in-tile ownership (half-open) -> globally unique
+            if not (x0 <= mx < x1 and y0 <= my < y1):
+                continue
+            lc = arr.cycle_cov.get(int(arr.cycle_left[k]), frozenset())
+            rc = arr.cycle_cov.get(int(arr.cycle_right[k]), frozenset())
+            out["x1"].append(int(s[0]))
+            out["y1"].append(int(s[1]))
+            out["x2"].append(int(s[2]))
+            out["y2"].append(int(s[3]))
+            out["length"].append(
+                math.hypot(int(s[2]) - int(s[0]), int(s[3]) - int(s[1])) * g.precision
+            )
+            out["left_cov"].append(sorted(lc))
+            out["right_cov"].append(sorted(rc))
+            out["source_pks"].append(sorted({p for p, _ in arr.labels[k]}))
+        return pa.table(
+            {
+                "tile": pa.array([tile] * len(out["x1"]), pa.int64()),
+                "x1": pa.array(out["x1"], pa.int64()),
+                "y1": pa.array(out["y1"], pa.int64()),
+                "x2": pa.array(out["x2"], pa.int64()),
+                "y2": pa.array(out["y2"], pa.int64()),
+                "length": pa.array(out["length"], pa.float64()),
+                "left_cov": pa.array(out["left_cov"], pa.list_(pa.int64())),
+                "right_cov": pa.array(out["right_cov"], pa.list_(pa.int64())),
+                "source_pks": pa.array(out["source_pks"], pa.list_(pa.int64())),
+            }
+        )
+
+
+def extract_edges(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | None = None):
+    """documents Dataset -> noded edge listing with source attribution.
+
+    The reference's edge_attributes re-link (cell.sql:390-416) happens here
+    for free: labels carry the source pks through the noding.
+    """
+    cfg = cfg or ResolveConfig()
+    plan = plan or prepare(ds, cfg)
+    t = cfg.topology
+    unwrapped = ds.map_batches(stages.Unwrap(plan.grid), batch_format="pyarrow")
+    routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
+    return routed.groupby("tile").map_groups(
+        TileEdges(plan.grid, t.utm), batch_format="pyarrow"
+    )

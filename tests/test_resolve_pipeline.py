@@ -238,3 +238,71 @@ class TestUtmMode:
         assert a1 == a2
         # planar areas in m^2: 1 deg ~ 100 km here
         assert df["area"].sum() > 1e6
+
+
+class TestGoldenCounts:
+    """Pinned golden numbers for the seeded 64-polygon fixture — the
+    engine's analogue of resolve_overlap_and_gap_expected (scalar counts
+    asserted after a full run).  Any kernel change that alters these must
+    be deliberate."""
+
+    def test_expected_counts(self, docs64):
+        cfg = ResolveConfig(
+            topology=TopologyConfig(snap_tolerance=1e-5, max_rows_in_each_cell=16, base_level=1)
+        )
+        df = run_resolve(docs64, cfg)
+        assert len(df) == 133
+        assert int(df["winner_pk"].notna().sum()) == 125
+        assert int(df["winner_pk"].isna().sum()) == 8
+        assert int((~df["input_geo_is_valid"]).sum()) == 7
+        # total geodesic area is stable to the snap grid
+        assert abs(df["area"].sum() - 627_145_819) / 627_145_819 < 1e-3
+
+
+class TestEdgeExtract:
+    def test_edges_have_sources_and_lengths(self, docs64):
+        from rogray.pipelines import detect
+
+        cfg = ResolveConfig(
+            topology=TopologyConfig(snap_tolerance=1e-5, max_rows_in_each_cell=16, base_level=1)
+        )
+        df = detect.extract_edges(docs64, cfg).to_pandas()
+        assert len(df) > 200
+        assert (df["length"] > 0).all()
+        # every edge knows its source polygon(s)
+        assert df["source_pks"].map(len).ge(1).all()
+        # every input polygon contributes at least one edge
+        seen = set()
+        for pks in df["source_pks"]:
+            seen.update(pks)
+        assert len(seen) >= 60
+    def test_shared_border_carries_both_sources(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from rogray import spans as spans_mod
+        from rogray.geom import wkb
+        from rogray.pipelines import detect
+
+        sq1 = np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]])
+        sq2 = np.array([[2.0, 1.0], [3.0, 1.0], [3.0, 2.0], [2.0, 2.0]])
+        docs = pa.table(
+            {
+                "doc_id": pa.array(["0", "1"]),
+                "spans": spans_mod.make_spans_column(
+                    [
+                        [("geometry", wkb.encode_polygon([sq1]).hex(), "", 0)],
+                        [("geometry", wkb.encode_polygon([sq2]).hex(), "", 0)],
+                    ]
+                ),
+            }
+        )
+        cfg = ResolveConfig(
+            topology=TopologyConfig(snap_tolerance=1e-3, max_rows_in_each_cell=16, base_level=0)
+        )
+        df = detect.extract_edges(rd.from_arrow(docs), cfg).to_pandas()
+        shared = df[df["source_pks"].map(lambda p: list(p) == [0, 1])]
+        assert len(shared) == 1  # the single coincident border edge
+        assert abs(shared.iloc[0]["length"] - 1.0) < 1e-6
+        # and its two sides are covered by the two different polygons
+        assert {tuple(shared.iloc[0]["left_cov"]), tuple(shared.iloc[0]["right_cov"])} == {(0,), (1,)}
