@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": lambda sf: relational.top_customers(sf),
         "events_hourly": lambda sf: relational.events_hourly(sf),
         "supplier_nation_rollup": lambda sf: relational.supplier_nation_rollup(sf),
+        "docs_by_lang": lambda sf: relational.docs_by_lang(sf),
+        "part_brand_stats": lambda sf: relational.part_brand_stats(sf),
+        "orders_monthly": lambda sf: relational.orders_monthly(sf),
         # --- text analysis (DuckDB oracles where exact) ---
         "text_token_stats": lambda sf: textstats.token_stats(_docs(sf)),
         "text_fingerprint": lambda sf: textstats.fingerprint(_docs(sf)),
@@ -250,6 +253,9 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": relational.top_customers_sql(),
         "events_hourly": relational.events_hourly_sql(),
         "supplier_nation_rollup": relational.supplier_nation_rollup_sql(),
+        "docs_by_lang": relational.docs_by_lang_sql(),
+        "part_brand_stats": relational.part_brand_stats_sql(),
+        "orders_monthly": relational.orders_monthly_sql(),
         "text_token_stats": textstats.token_stats_sql(),
         "text_fingerprint": textstats.fingerprint_sql(),
         "text_quality": textstats.quality_score_sql(),

@@ -187,3 +187,99 @@ def supplier_nation_rollup_sql() -> str:
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
     """
+
+
+def docs_by_lang(sf_dir: str):
+    """Document counts + char sums per (lang, source) — partial-aggregate
+    pattern on the documents table."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"))
+    )
+
+
+def docs_by_lang_sql() -> str:
+    return """
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang, source
+    """
+
+
+def part_brand_stats(sf_dir: str):
+    """Per-brand part stats: counts, size extrema, retail cents."""
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand", "p_size", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["price_c"] = np.round(df["p_retailprice"] * 100).astype(np.int64)
+        g = df.groupby("p_brand", as_index=False).agg(
+            n_parts=("p_size", "size"),
+            min_size=("p_size", "min"),
+            max_size=("p_size", "max"),
+            sum_price_c=("price_c", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n_parts", alias_name="n_parts"),
+            Min("min_size", alias_name="min_size"),
+            Max("max_size", alias_name="max_size"),
+            Sum("sum_price_c", alias_name="sum_price_c"),
+        )
+    )
+
+
+def part_brand_stats_sql() -> str:
+    return """
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(MIN(p_size) AS BIGINT) AS min_size,
+               CAST(MAX(p_size) AS BIGINT) AS max_size,
+               CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        FROM part GROUP BY p_brand
+    """
+
+
+def orders_monthly(sf_dir: str):
+    """Orders per (status, month) with total cents — window-by-time rollup."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["month_epoch"] = (
+            df["o_orderdate"].dt.to_period("M").dt.start_time.astype("datetime64[ns]").astype("int64") // 10**9
+        )
+        df["price_c"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        g = df.groupby(["o_orderstatus", "month_epoch"], as_index=False).agg(
+            n=("price_c", "size"), total_c=("price_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "month_epoch"])
+        .aggregate(Sum("n", alias_name="n"), Sum("total_c", alias_name="total_c"))
+    )
+
+
+def orders_monthly_sql() -> str:
+    return """
+        SELECT o_orderstatus,
+               CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        FROM orders GROUP BY o_orderstatus, date_trunc('month', o_orderdate)
+    """
