@@ -63,23 +63,39 @@ def _q_resolve(sf_dir: str):
 
 
 def _q_resolve_summary(sf_dir: str):
+    """1-row summary via per-batch partial counts + Dataset.sum — nothing
+    but four int64 partials ever reaches the driver (no .to_pandas() on the
+    full resolved output)."""
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from rogray.pipelines import resolve
 
-    df = (
-        resolve.resolve_overlap_gap(_geo_docs(sf_dir), _geo_cfg())
-        .select_columns(["winner_pk", "input_geo_is_valid", "area"])
-        .to_pandas()
+    res = resolve.resolve_overlap_gap(_geo_docs(sf_dir), _geo_cfg())
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = len(t)
+        n_att = n - t["winner_pk"].null_count
+        inv = pc.sum(
+            pc.cast(pc.invert(t["input_geo_is_valid"]), pa.int64())
+        ).as_py() or 0
+        return pa.table(
+            {
+                "n_faces": pa.array([n], pa.int64()),
+                "n_attributed": pa.array([n_att], pa.int64()),
+                "n_gaps": pa.array([n - n_att], pa.int64()),
+                "n_invalid_flagged": pa.array([int(inv)], pa.int64()),
+            }
+        )
+
+    cols = ["n_faces", "n_attributed", "n_gaps", "n_invalid_flagged"]
+    sums = (
+        res.select_columns(["winner_pk", "input_geo_is_valid"])
+        .map_batches(partial, batch_format="pyarrow")
+        .sum(cols)
     )
-    return pd.DataFrame(
-        {
-            "n_faces": [len(df)],
-            "n_attributed": [int(df["winner_pk"].notna().sum())],
-            "n_gaps": [int(df["winner_pk"].isna().sum())],
-            "n_invalid_flagged": [int((~df["input_geo_is_valid"]).sum())],
-        }
-    )
+    return pd.DataFrame({c: [int(sums[f"sum({c})"])] for c in cols})
 
 
 def _q_detect(sf_dir: str):

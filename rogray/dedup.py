@@ -1,7 +1,7 @@
 """Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
 embedding cosine near-dup.
 
-Patterns (see /opt/skills/guides/ray_guide.md "Aggregation at scale"):
+Patterns (partial aggregation inside map_batches, then a small groupby):
 - exact: content-hash column in map_batches, then hash-partitioned
   groupby(hash).map_groups(keep min doc_id) — no full-text shuffle, only
   (hash, id) when texts are big (we keep it simple at test scale).

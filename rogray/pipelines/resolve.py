@@ -143,13 +143,10 @@ def _finalize_join(stitched, ds, grid, utm):
 
         import pyarrow as pa
 
+        from ..ids import stable_pk
+
         ids = t["doc_id"].to_pylist()
-        pks = []
-        for did in ids:
-            try:
-                pks.append(int(did))
-            except (TypeError, ValueError):
-                pks.append(hash(did) & 0x7FFFFFFFFFFFFFFF)
+        pks = [stable_pk(did) for did in ids]
         # Arrow join cannot carry list<struct> payloads: spans ride as JSON
         spans_json = [
             json.dumps(
@@ -177,8 +174,18 @@ def _finalize_join(stitched, ds, grid, utm):
         )
 
     stitched = stitched.map_batches(prep, batch_format="pyarrow")
-    docs_side = ds.map_batches(docs_min, batch_format="pyarrow")
     cpus = int(ray.cluster_resources().get("CPU", 8))
+    # Ray's hash join broadcasts the left schema to all join partitions from
+    # the FIRST left block only — and marks the broadcast done even when
+    # that block is a 0-row schema-less block emitted by an upstream sort
+    # (ray.data hash_shuffle._shuffle_block early-returns on num_rows==0 but
+    # _has_schemas_broadcasted is set regardless).  A partition that then
+    # receives no left rows builds a schema-less table and the Arrow join
+    # raises "No match for FieldRef(winner_pk)".  Rebuilding blocks here
+    # scrubs schema-less empties; it runs on the trimmed face schema (rings
+    # + 5 scalar cols), not the raw input.
+    stitched = stitched.repartition(max(2, cpus // 2))
+    docs_side = ds.map_batches(docs_min, batch_format="pyarrow")
     joined = stitched.join(
         docs_side,
         join_type="left_outer",

@@ -2,8 +2,7 @@
 
 These prove the engine's aggregate/join/window machinery with exact DuckDB
 oracles.  Pattern: pre-aggregate per batch inside map_batches (partials),
-then a tiny groupby over partials — the scale-correct shape
-(/opt/skills/guides/ray_guide.md "Aggregation at scale").  Monetary sums
+then a tiny groupby over partials — the scale-correct shape.  Monetary sums
 are carried as integer cents so value-hash comparison is float-free.
 """
 
@@ -17,6 +16,14 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
+def _cents(values) -> np.ndarray:
+    """money -> integer cents, rounding half AWAY from zero like DuckDB's
+    round() (np.round is banker's: round(0.5)=0, which silently diverges
+    from the oracle whenever x*100 lands exactly on .5)."""
+    x = np.asarray(values, dtype=np.float64) * 100.0
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary on lineitem (integer cents)."""
     ds = rd.read_parquet(
@@ -26,9 +33,9 @@ def pricing_summary(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["qty_c"] = np.round(df["l_quantity"] * 100).astype(np.int64)
-        df["price_c"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
-        df["disc_c"] = np.round(df["l_discount"] * 100).astype(np.int64)
+        df["qty_c"] = _cents(df["l_quantity"])
+        df["price_c"] = _cents(df["l_extendedprice"])
+        df["disc_c"] = _cents(df["l_discount"])
         g = (
             df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
             .agg(sum_qty_c=("qty_c", "sum"), sum_price_c=("price_c", "sum"),
@@ -68,19 +75,27 @@ def top_customers(sf_dir: str, n: int = 20):
     """
     import pyarrow.parquet as pq
 
+    import ray
+
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
     )
-    cmap = dict(
-        zip(cust["c_custkey"].to_pylist(), zip(cust["c_name"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    )
+    cmap_ref = ray.put(
+        dict(
+            zip(
+                cust["c_custkey"].to_pylist(),
+                zip(cust["c_name"].to_pylist(), cust["c_mktsegment"].to_pylist()),
+            )
+        )
+    )  # ray.put ONCE; tasks read the shared object-store copy instead of
+    # re-pickling the dict into every task spec
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["price_c"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        df["price_c"] = _cents(df["o_totalprice"])
         g = df.groupby("o_custkey", as_index=False).agg(total_c=("price_c", "sum"), n_orders=("price_c", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -91,6 +106,9 @@ def top_customers(sf_dir: str, n: int = 20):
     )
 
     def attach(t: pa.Table) -> pa.Table:
+        import ray
+
+        cmap = ray.get(cmap_ref)
         keys = t["o_custkey"].to_pylist()
         names = [cmap.get(k, (None, None))[0] for k in keys]
         segs = [cmap.get(k, (None, None))[1] for k in keys]
@@ -122,7 +140,7 @@ def top_customers_sql(n: int = 20) -> str:
 
 def events_hourly(sf_dir: str):
     """Tumbling 1h window per event_type (streaming-shaped workload as a
-    groupby over (type, hour) — ray_guide.md 'Streaming-shaped workloads')."""
+    groupby over (type, hour))."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -130,7 +148,7 @@ def events_hourly(sf_dir: str):
         df["hour_epoch"] = (
             df["ts"].dt.floor("h").astype("datetime64[ns]").astype("int64") // 10**9
         )
-        df["value_c"] = np.round(df["value"] * 100).astype(np.int64)
+        df["value_c"] = _cents(df["value"])
         g = df.groupby(["event_type", "hour_epoch"], as_index=False).agg(
             n=("value_c", "size"), sum_value_c=("value_c", "sum")
         )
@@ -167,7 +185,7 @@ def supplier_nation_rollup(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         df["r_name"] = df["s_nationkey"].map(lambda k: rmap.get(nmap.get(k)))
-        df["bal_c"] = np.round(df["s_acctbal"] * 100).astype(np.int64)
+        df["bal_c"] = _cents(df["s_acctbal"])
         g = df.groupby("r_name", as_index=False).agg(n_suppliers=("bal_c", "size"), sum_bal_c=("bal_c", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -222,7 +240,7 @@ def part_brand_stats(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["price_c"] = np.round(df["p_retailprice"] * 100).astype(np.int64)
+        df["price_c"] = _cents(df["p_retailprice"])
         g = df.groupby("p_brand", as_index=False).agg(
             n_parts=("p_size", "size"),
             min_size=("p_size", "min"),
@@ -262,7 +280,7 @@ def orders_monthly(sf_dir: str):
         df["month_epoch"] = (
             df["o_orderdate"].dt.to_period("M").dt.start_time.astype("datetime64[ns]").astype("int64") // 10**9
         )
-        df["price_c"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        df["price_c"] = _cents(df["o_totalprice"])
         g = df.groupby(["o_orderstatus", "month_epoch"], as_index=False).agg(
             n=("price_c", "size"), total_c=("price_c", "sum")
         )

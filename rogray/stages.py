@@ -41,6 +41,7 @@ import pyarrow as pa
 
 from . import spans as spans_mod
 from .config import GridConfig
+from .ids import stable_pk
 from .geom import arrangement, core, noding, polygonize, wkb
 from .tiling import balance, quadkey
 
@@ -159,10 +160,7 @@ class Unwrap:
                 rings = arrangement.normalize_rings(rings)
             mnx, mny, mxx, mxy = core.bbox_of_rings(rings)
             did = doc_ids[i]
-            try:
-                pk = int(did)
-            except (TypeError, ValueError):
-                pk = hash(did) & 0x7FFFFFFFFFFFFFFF
+            pk = stable_pk(did)
             out["doc_id"].append(did)
             out["pk"].append(pk)
             out["rings"].append(pack_rings(rings))
@@ -349,12 +347,14 @@ class Route:
         mny = t["miny"].to_numpy()
         mxx = t["maxx"].to_numpy()
         mxy = t["maxy"].to_numpy()
-        # fast path (vectorized): bbox corners land in the same leaf tile ->
-        # exactly one destination; only border-crossing rows take the
-        # Python tree walk
+        # fast path (vectorized): bbox corners land in the same ACTUAL
+        # partition tile -> exactly one destination; only border-crossing
+        # rows (and rows in histogram-empty regions of split base cells,
+        # where tile_of_points_px falls back to a non-partition base cell)
+        # take the Python tree walk
         lo = self.cut.tile_of_points_px(mnx, mny)
         hi = self.cut.tile_of_points_px(mxx, mxy)
-        single = lo == hi
+        single = (lo == hi) & self.cut.is_partition_tile(lo)
         idx_list = np.flatnonzero(single).tolist()
         tile_list = lo[single].astype(np.int64).tolist()
         for i in np.flatnonzero(~single).tolist():

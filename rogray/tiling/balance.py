@@ -89,6 +89,18 @@ class CutIndex:
             lvl = int(leaf >> quadkey.LEVEL_SHIFT)
             for up in range(base_level, lvl):
                 self._interior.add(int(quadkey.parent(np.asarray([leaf], np.uint64), up)[0]))
+        # the actual tile partition of the square (leaves + empty-region
+        # cells): membership gates the Route fast path — tile_of_points_px
+        # falls back to the base cell for points in histogram-empty regions
+        # of a SPLIT base cell, and that base cell is NOT a partition tile
+        self._partition_arr = np.asarray(self.all_tiles(), dtype=np.uint64)
+
+    def is_partition_tile(self, cells: np.ndarray) -> np.ndarray:
+        """True where ``cells`` are actual tiles of the partition
+        (vectorized). Cells returned by tile_of_points_px for points in
+        empty regions under a split base cell fail this test and must take
+        the full bbox descend."""
+        return np.isin(np.asarray(cells, dtype=np.uint64), self._partition_arr)
 
     def tile_of_points_px(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         """Leaf tile containing each integer-grid point (vectorized).
