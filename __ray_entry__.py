@@ -146,30 +146,12 @@ def _q_pip_join(sf_dir: str):
 
 
 def _q_knn(sf_dir: str):
-    """kNN self-join over polygon centroids (k-ring cell expansion)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    import ray.data as rd
+    """kNN self-join via cell expansion over embeddings-derived points on a
+    fixed snap grid — exact-integer distances, DuckDB-oracle-checked.
+    (The polygon-centroid variant is exercised by tests/test_ops.py.)"""
+    from rogray.spatial_query import knn_embedding_points
 
-    from rogray import sources
-    from rogray import spans as spans_mod
-    from rogray.geom import wkb
-    from rogray.spatial_query import knn_points
-
-    n = max(64, int(sources.scale_rows(sf_dir) * 0.1))
-    t = pq.read_table(sources.docs_path_for(sf_dir, n))
-    wkbs = spans_mod.extract_geometry_wkb(t["spans"])
-    xs, ys, ids = [], [], []
-    for i, wb in enumerate(wkbs):
-        rings = wkb.decode_polygon_rings(wb)
-        c = rings[0].mean(axis=0)
-        xs.append(float(c[0]))
-        ys.append(float(c[1]))
-        ids.append(i)
-    pts = rd.from_arrow(
-        pa.table({"point_id": pa.array(ids, pa.int64()), "x": xs, "y": ys})
-    )
-    return knn_points(pts, k=5, radius=0.2, base_level=3)
+    return knn_embedding_points(sf_dir)
 
 
 def _q_compare(sf_dir: str):
@@ -263,8 +245,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rogray import dedup, relational, similarity, textstats
+    from rogray import spatial_query
 
     return {
+        "knn_cell_expansion": spatial_query.knn_embedding_sql(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "top_customers": relational.top_customers_sql(),
         "events_hourly": relational.events_hourly_sql(),
@@ -278,8 +263,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_embedding_exact": dedup.embedding_neardup_sql(),
         "ann_brute_topk": similarity.brute_topk_sql([0, 1, 2, 3], 10),
-        # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap,
-        # resolve_overlap_gap_summary, find_overlap_gap,
-        # content_balanced_tiling, text_lang_id, dedup_minhash_lsh,
-        # dedup_simhash, dedup_embedding_lsh, ann_ivf_topk
+        # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap
+        # family and other geometry pipelines (DuckDB has no spatial ext
+        # here), text_lang_id (heuristic), dedup_minhash_lsh / dedup_simhash
+        # / dedup_embedding_lsh (probabilistic LSH recall; their exact
+        # twins dedup_exact / dedup_ngram_jaccard / dedup_embedding_exact
+        # ARE oracle-checked), ann_ivf_topk (recall-asserted vs
+        # ann_brute_topk in tests/test_ops.py)
     }

@@ -358,59 +358,241 @@ def _word_ngrams(text: str, n: int = 3) -> set:
     return {tuple(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
-def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.5):
-    """Exact word-n-gram Jaccard over MinHash-LSH candidate pairs.
+def _gram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Sorted distinct crc32 hashes of word n-grams (deterministic)."""
+    hs = {
+        zlib.crc32(" ".join(g).encode("utf-8")) for g in _word_ngrams(text, n)
+    }
+    return np.array(sorted(hs), dtype=np.int64)
 
-    LSH supplies the candidates (high recall at this threshold); the exact
-    verify computes true Jaccard on the two documents' n-gram sets, so the
-    emitted pairs are exact subject to LSH recall.  Texts travel with the
-    band rows only for candidate groups (never a full cross join).
+
+def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.5):
+    """EXACT word-n-gram Jaccard similarity self-join via prefix filtering
+    (the AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
+    ICDE'08 — public literature).
+
+    Guarantee (unlike the MinHash path): every pair with true Jaccard >=
+    threshold is emitted.  Pipeline shape:
+
+      grams      map_batches: doc -> sorted distinct n-gram hashes (blob)
+      prefix     each doc emits its first p = g - ceil(t*g) + 1 grams as
+                 (gram, doc_id, g) rows — any qualifying pair MUST share a
+                 prefix gram under a fixed global gram order (hash order
+                 here; at 100 TB use a sampled document-frequency order,
+                 broadcast like the tiling histogram, so hot grams don't
+                 form giant candidate groups)
+      candidates groupby(gram): pairs passing the size filter
+                 ceil(t * max(ga, gb)) <= min(ga, gb), deduped
+      verify     two sort-shuffle reduce-side joins attach each side's
+                 gram blob (no full-text shuffle anywhere), then exact
+                 |A∩B| / |A∪B|
+
+    Returns (id_a, id_b, jaccard_x1000), id_a < id_b.
     """
 
-    def band_rows(t: pa.Table) -> pa.Table:
+    def gram_rows(t: pa.Table) -> pa.Table:
         texts = t[col].to_pylist()
-        ids = t["doc_id"].to_pylist()
-        b_band, b_hash, b_id, b_text = [], [], [], []
-        for did, s in zip(ids, texts):
-            sig = _minhash(_shingles(s))
-            for b in range(_BANDS):
-                chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-                b_band.append(b)
-                b_hash.append(int(zlib.crc32(chunk.tobytes())))
-                b_id.append(did)
-                b_text.append(s)
+        blobs = [_gram_hashes(s, n).tobytes() for s in texts]
         return pa.table(
             {
-                "band": pa.array(b_band, pa.int32()),
-                "bhash": pa.array(b_hash, pa.int64()),
-                "doc_id": pa.array(b_id),
-                "text": pa.array(b_text, pa.string()),
+                "doc_id": t["doc_id"].combine_chunks(),
+                "grams": pa.array(blobs, pa.large_binary()),
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    grams_ds = ds.map_batches(gram_rows, batch_format="pyarrow")
+    grams_schema = pa.schema(
+        [("doc_id", ds.schema().base_schema.field("doc_id").type), ("grams", pa.large_binary())]
+    )
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out_g, out_id, out_sz = [], [], []
+        for did, blob in zip(ids, t["grams"].to_pylist()):
+            hs = np.frombuffer(blob, dtype=np.int64)
+            g = len(hs)
+            if g == 0:
+                continue
+            p = g - int(np.ceil(threshold * g)) + 1
+            for h in hs[:p]:
+                out_g.append(int(h))
+                out_id.append(did)
+                out_sz.append(g)
+        return pa.table(
+            {
+                "gram": pa.array(out_g, pa.int64()),
+                "doc_id": pa.array(out_id),
+                "gsize": pa.array(out_sz, pa.int64()),
+            }
+        )
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id").drop_duplicates(subset=["doc_id"])
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_x1000": []})
+            return pd.DataFrame({"id_a": [], "id_b": []})
         ids = g["doc_id"].tolist()
-        grams = [_word_ngrams(s) for s in g["text"].tolist()]
-        out_a, out_b, out_j = [], [], []
+        sz = g["gsize"].to_numpy()
+        out_a, out_b = [], []
         for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(grams[i] & grams[j])
-                union = len(grams[i] | grams[j])
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(int(np.floor(jac * 1000 + 0.5)))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard_x1000": out_j})
+            # size filter: J >= t requires |A∩B| >= t*max => min >= t*max
+            ok = np.ceil(threshold * np.maximum(sz[i + 1 :], sz[i])) <= np.minimum(
+                sz[i + 1 :], sz[i]
+            )
+            for k in np.flatnonzero(ok):
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + k])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     cand = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "bhash"])
-        .map_groups(pairs, batch_format="pandas")
+        grams_ds.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("gram")
+        .map_groups(candidates, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    # reduce-side joins: route pair rows + gram rows to the same key and
+    # attach the blob inside the group (robust at any scale, no broadcast,
+    # and immune to empty-schema blocks that trip Dataset.join)
+    id_type = grams_schema.field("doc_id").type
+
+    def make_attach(key_col: str, blob_cols: list[str], blob_name: str):
+        """(tag_pairs, tag_docs, combine) for one attach pass.  Unioned
+        schema: k (string cast, grouping only), is_doc, doc_blob, id_a,
+        id_b (native doc_id type), <carried blob cols>."""
+        out_schema = pa.schema(
+            [("k", pa.string()), ("is_doc", pa.bool_()), ("doc_blob", pa.large_binary()),
+             ("id_a", id_type), ("id_b", id_type)]
+            + [(c, pa.large_binary()) for c in blob_cols]
+        )
+
+        def tag_pairs(t: pa.Table) -> pa.Table:
+            n_ = len(t)
+            d = {
+                "k": t[key_col].cast(pa.string()).combine_chunks(),
+                "is_doc": pa.array([False] * n_, pa.bool_()),
+                "doc_blob": pa.array([None] * n_, pa.large_binary()),
+                "id_a": t["id_a"].cast(id_type).combine_chunks(),
+                "id_b": t["id_b"].cast(id_type).combine_chunks(),
+            }
+            for c in blob_cols:
+                d[c] = (
+                    t[c].cast(pa.large_binary()).combine_chunks()
+                    if c in t.column_names
+                    else pa.array([None] * n_, pa.large_binary())
+                )
+            return pa.table(d, schema=out_schema)
+
+        def tag_docs(t: pa.Table) -> pa.Table:
+            n_ = len(t)
+            d = {
+                "k": t["doc_id"].cast(pa.string()).combine_chunks(),
+                "is_doc": pa.array([True] * n_, pa.bool_()),
+                "doc_blob": t["grams"].cast(pa.large_binary()).combine_chunks(),
+                "id_a": pa.array([None] * n_, id_type),
+                "id_b": pa.array([None] * n_, id_type),
+            }
+            for c in blob_cols:
+                d[c] = pa.array([None] * n_, pa.large_binary())
+            return pa.table(d, schema=out_schema)
+
+        res_schema = pa.schema(
+            [("id_a", id_type), ("id_b", id_type)]
+            + [(c, pa.large_binary()) for c in blob_cols]
+            + [(blob_name, pa.large_binary())]
+        )
+
+        def combine(g: pa.Table) -> pa.Table:
+            is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
+            pair_idx = np.flatnonzero(~is_doc)
+            doc_idx = np.flatnonzero(is_doc)
+            if len(pair_idx) == 0 or len(doc_idx) == 0:
+                return res_schema.empty_table()
+            blob = g["doc_blob"][int(doc_idx[0])].as_py()
+            prs = g.take(pa.array(pair_idx, pa.int64()))
+            d = {"id_a": prs["id_a"].combine_chunks(), "id_b": prs["id_b"].combine_chunks()}
+            for c in blob_cols:
+                d[c] = prs[c].combine_chunks()
+            d[blob_name] = pa.array([blob] * len(prs), pa.large_binary())
+            return pa.table(d, schema=res_schema)
+
+        combine.__name__ = f"attach_{blob_name}"
+        return tag_pairs, tag_docs, combine
+
+    # pass 1: attach grams of id_a
+    tag_p1, tag_d1, comb1 = make_attach("id_a", [], "blob_a")
+    withA = (
+        cand.map_batches(tag_p1, batch_format="pyarrow")
+        .union(grams_ds.map_batches(tag_d1, batch_format="pyarrow"))
+        .groupby("k")
+        .map_groups(comb1, batch_format="pyarrow")
     )
+    # pass 2: attach grams of id_b (blob_a rides through)
+    tag_p2, tag_d2, comb2 = make_attach("id_b", ["blob_a"], "blob_b")
+    withAB = (
+        withA.map_batches(tag_p2, batch_format="pyarrow")
+        .union(grams_ds.map_batches(tag_d2, batch_format="pyarrow"))
+        .groupby("k")
+        .map_groups(comb2, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [("id_a", id_type), ("id_b", id_type), ("jaccard_x1000", pa.int64())]
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "blob_a" not in t.column_names:
+            return out_schema.empty_table()
+        keep, out_j = [], []
+        blobs_a = t["blob_a"].to_pylist()
+        blobs_b = t["blob_b"].to_pylist()
+        for i, (ba, bb) in enumerate(zip(blobs_a, blobs_b)):
+            if ba is None or bb is None:
+                continue
+            A = np.frombuffer(ba, dtype=np.int64)
+            B = np.frombuffer(bb, dtype=np.int64)
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            union = len(A) + len(B) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                keep.append(i)
+                out_j.append(int(np.floor(jac * 1000 + 0.5)))
+        sub = t.take(pa.array(keep, pa.int64()))
+        return pa.table(
+            {
+                "id_a": sub["id_a"].combine_chunks(),
+                "id_b": sub["id_b"].combine_chunks(),
+                "jaccard_x1000": pa.array(out_j, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return withAB.map_batches(verify, batch_format="pyarrow")
+
+
+def ngram_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
+    """DuckDB oracle: exact all-pairs word-n-gram Jaccard (the engine uses
+    prefix filtering to avoid the cross join; results are identical)."""
+    return f"""
+        WITH words AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                      WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
+                                          for i in generate_series(1, len(w) - {n - 1})])
+                 END AS g
+          FROM words
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(floor(1000.0 * len(list_intersect(a.g, b.g))
+                          / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) + 0.5) AS BIGINT)
+                 AS jaccard_x1000
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        WHERE len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+          AND len(list_intersect(a.g, b.g)) >= {threshold} *
+              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+    """

@@ -78,18 +78,39 @@ def brute_topk_sql(query_ids: list[int], k: int = 10) -> str:
     """
 
 
+def _kmeans_lite(sample: np.ndarray, n_centroids: int, seed: int,
+                 n_iter: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means on a small sample (Lloyd iterations
+    with cosine assignment) — the centroid-training step of IVF (public
+    algorithm).  The sample is driver-side and bounded, never the dataset."""
+    rng = np.random.default_rng(seed)
+    sn = _normalize(np.asarray(sample, dtype=np.float64))
+    n = len(sn)
+    cents = sn[rng.choice(n, size=min(n_centroids, n), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(sn @ cents.T, axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = sn[mask].mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
 def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10,
-             n_centroids: int = 16, n_probe: int = 4, seed: int = 7):
+             n_centroids: int = 16, n_probe: int = 4, seed: int = 7,
+             train_sample: int = 2048):
     """IVF-bucketed approximate top-k (the 100TB path).
 
-    Centroids are sampled deterministically from hashed unit directions (a
-    real deployment would k-means a sample); vectors shuffle once by
-    nearest centroid; each query scans only its n_probe nearest buckets.
+    Centroids come from deterministic spherical k-means on a bounded
+    ``limit(train_sample)`` sample (driver-side, tiny); vectors shuffle
+    once by nearest centroid; each query scans only its n_probe nearest
+    buckets.  Recall vs brute_topk is asserted in tests/test_ops.py.
     """
-    rng = np.random.default_rng(seed)
     qn = _normalize(np.asarray(queries, dtype=np.float64))
-    dim = qn.shape[1]
-    cents = _normalize(rng.standard_normal((n_centroids, dim)))
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    cents = _kmeans_lite(sample, n_centroids, seed)
     q_probe = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
     qids = list(query_ids)
 

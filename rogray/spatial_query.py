@@ -167,35 +167,41 @@ def knn_points(points_ds, k: int = 5, radius: float = 0.1,
         )
 
     def per_cell(g: pa.Table) -> pa.Table:
-        px = g["px"].to_numpy().astype(np.float64)
-        py = g["py"].to_numpy().astype(np.float64)
+        px = g["px"].to_numpy()
+        py = g["py"].to_numpy()
         pid = g["point_id"].to_numpy()
         home = g["is_home"].to_numpy(zero_copy_only=False)
         # dedup candidates by point_id (a point may be routed twice via
         # different overlaps at level boundaries)
         _, first = np.unique(pid, return_index=True)
         tx, ty, tpid = px[first], py[first], pid[first]
-        out = {"point_id": [], "neighbor_id": [], "dist": [], "rank": [], "complete": []}
+        r2_px = np.int64(r_px) * np.int64(r_px)
+        out = {"point_id": [], "neighbor_id": [], "d2_px": [], "dist": [], "rank": [], "complete": []}
         targets = np.flatnonzero(home)
         for i in targets:
-            d = np.hypot(tx - px[i], ty - py[i])
+            # exact integer squared distance: rank ties resolve identically
+            # in every process AND in the SQL oracle (float sqrt could
+            # collapse distinct d2 into equal doubles)
+            d2 = (tx - px[i]) ** 2 + (ty - py[i]) ** 2
             self_mask = tpid == pid[i]
-            d[self_mask] = np.inf
-            order = np.lexsort((tpid, d))[: k]
-            kth = d[order[-1]] if len(order) else np.inf
-            complete = bool(kth <= r_px)
+            d2[self_mask] = np.iinfo(np.int64).max
+            order = np.lexsort((tpid, d2))[: k]
+            kth = d2[order[-1]] if len(order) else np.iinfo(np.int64).max
+            complete = bool(kth <= r2_px)
             for rank, j in enumerate(order):
-                if not np.isfinite(d[j]):
+                if d2[j] == np.iinfo(np.int64).max:
                     continue
                 out["point_id"].append(int(pid[i]))
                 out["neighbor_id"].append(int(tpid[j]))
-                out["dist"].append(float(d[j]) * grid.precision)
+                out["d2_px"].append(int(d2[j]))
+                out["dist"].append(float(np.sqrt(d2[j])) * grid.precision)
                 out["rank"].append(rank + 1)
                 out["complete"].append(complete)
         return pa.table(
             {
                 "point_id": pa.array(out["point_id"], pa.int64()),
                 "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "d2_px": pa.array(out["d2_px"], pa.int64()),
                 "dist": pa.array(out["dist"], pa.float64()),
                 "rank": pa.array(out["rank"], pa.int64()),
                 "complete": pa.array(out["complete"], pa.bool_()),
@@ -207,6 +213,71 @@ def knn_points(points_ds, k: int = 5, radius: float = 0.1,
         .groupby("cell")
         .map_groups(per_cell, batch_format="pyarrow")
     )
+
+
+# fixed frame for the embeddings-derived kNN demo: constants appear
+# verbatim in knn_embedding_sql so the snap arithmetic is bit-identical
+# (same IEEE double ops) between the engine and the DuckDB oracle
+_EMB_ORIGIN = -1.0
+_EMB_PRECISION = 1e-4
+_EMB_SPAN_PX = 32768  # covers [-1, 2.2768] at 1e-4
+
+
+def knn_embedding_points(sf_dir: str, k: int = 5, radius: float = 0.3,
+                         base_level: int = 3):
+    """kNN cell-expansion over points derived from the embeddings table
+    (x = embedding[0], y = embedding[1]) on a FIXED snap grid, so a DuckDB
+    window-function oracle can reproduce the exact integer distances.
+    Output: (point_id, neighbor_id, d2_px, rank)."""
+    import ray.data as rd
+
+    from .config import GridConfig
+
+    grid = GridConfig(_EMB_ORIGIN, _EMB_ORIGIN, _EMB_SPAN_PX * _EMB_PRECISION, _EMB_PRECISION)
+
+    def to_points(t: pa.Table) -> pa.Table:
+        embs = t["embedding"].to_pylist()
+        xs = np.array([e[0] for e in embs], dtype=np.float64)
+        ys = np.array([e[1] for e in embs], dtype=np.float64)
+        return pa.table(
+            {
+                "point_id": t["vec_id"].cast(pa.int64()).combine_chunks(),
+                "x": pa.array(xs, pa.float64()),
+                "y": pa.array(ys, pa.float64()),
+            }
+        )
+
+    pts = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(to_points, batch_format="pyarrow")
+    res = knn_points(pts, k=k, radius=radius, grid=grid, base_level=base_level)
+    return res.select_columns(["point_id", "neighbor_id", "d2_px", "rank"])
+
+
+def knn_embedding_sql(k: int = 5) -> str:
+    """DuckDB oracle for knn_embedding_points: same snap (floor(x/prec -
+    origin/prec + 0.5) with identical constants), exact integer squared
+    distances, row_number ties broken by neighbor id."""
+    return f"""
+        WITH pts AS (
+          SELECT vec_id AS point_id,
+                 CAST(floor((CAST(embedding[1] AS DOUBLE) - (-1.0)) / 0.0001 + 0.5) AS BIGINT) AS px,
+                 CAST(floor((CAST(embedding[2] AS DOUBLE) - (-1.0)) / 0.0001 + 0.5) AS BIGINT) AS py
+          FROM embeddings
+        ), pairs AS (
+          SELECT a.point_id, b.point_id AS neighbor_id,
+                 (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2,
+                 row_number() OVER (
+                   PARTITION BY a.point_id
+                   ORDER BY (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py),
+                            b.point_id
+                 ) AS rnk
+          FROM pts a JOIN pts b ON a.point_id <> b.point_id
+        )
+        SELECT point_id, neighbor_id, CAST(d2 AS BIGINT) AS d2_px,
+               CAST(rnk AS BIGINT) AS rank
+        FROM pairs WHERE rnk <= {k}
+    """
 
 
 def smooth_lines(ds, simplify_tolerance: float = 0.0, chaikins_iterations: int = 1):

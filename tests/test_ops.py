@@ -221,3 +221,35 @@ class TestMultimodal:
         out = vectorize_masks(docs).to_pandas()
         assert len(out) > 0
         assert (out["n_cells"] > 0).all()
+
+
+class TestAnnRecall:
+    def test_ivf_recall_vs_brute(self, ray_session):
+        """IVF (approximate, bucketed) must recover most of the exact
+        brute-force top-k — the standard recall gate for an ANN index."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from rogray import similarity
+
+        sf = "/root/testdata/sf0.01"
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        qt = t.filter(pc.less(t["vec_id"], 8)).sort_by("vec_id")
+        q = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+        qids = qt["vec_id"].to_pylist()
+        ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+        brute = similarity.brute_topk(ds, q, qids, k=10).to_pandas()
+        ivf = similarity.ivf_topk(ds, q, qids, k=10, n_probe=4).to_pandas()
+        recalls = []
+        for qid in qids:
+            want = set(brute[brute["query_id"] == qid]["vec_id"])
+            got = set(ivf[ivf["query_id"] == qid]["vec_id"])
+            recalls.append(len(want & got) / len(want))
+        assert np.mean(recalls) >= 0.6, recalls
+        # the probed buckets always contain the query's own bucket: the
+        # top-1 neighbour is recovered for every query
+        top1 = brute.sort_values(["query_id", "sim_x1000"], ascending=[True, False]).groupby("query_id").head(1)
+        for _, r in top1.iterrows():
+            got = set(ivf[ivf["query_id"] == r["query_id"]]["vec_id"])
+            assert r["vec_id"] in got
