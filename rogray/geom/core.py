@@ -55,14 +55,20 @@ def cross_sign(ox, oy, ax, ay, bx, by):
 
 
 def ring_signed_area2(ring: np.ndarray) -> int:
-    """Twice the signed area of an int ring (positive = CCW). Exact (Python int)."""
+    """Twice the signed area of an int ring (positive = CCW).  Exact: terms
+    are < 2^59 (coords relative to the first vertex, span_px < 2^28), summed
+    in int64 chunks of 8 (< 2^62 each) and combined as Python ints."""
     r = np.asarray(ring, dtype=np.int64)
     if len(r) < 3:
         return 0
     x = r[:, 0] - r[0, 0]
     y = r[:, 1] - r[0, 1]
-    x2, y2 = np.roll(x, -1), np.roll(y, -1)
-    return int(np.sum(x * y2 - x2 * y, dtype=object))
+    # cyclic terms with origin at r0: the closing and opening terms vanish
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    if len(cross) <= 8:
+        return int(cross.sum())
+    parts = np.add.reduceat(cross, np.arange(0, len(cross), 8))
+    return sum(int(p) for p in parts)
 
 
 def ring_area_px(ring: np.ndarray) -> float:
@@ -144,54 +150,73 @@ def point_in_polygon(qx: int, qy: int, rings: list[np.ndarray]) -> bool:
     return bool(c & 1)
 
 
+_SIMPLE_PAIRS: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _nonadjacent_pairs(k: int) -> tuple[np.ndarray, np.ndarray]:
+    got = _SIMPLE_PAIRS.get(k)
+    if got is None:
+        ii, jj = np.triu_indices(k, k=1)
+        adjacent = (jj - ii == 1) | ((ii == 0) & (jj == k - 1))
+        got = (ii[~adjacent], jj[~adjacent])
+        if k <= 4096:
+            _SIMPLE_PAIRS[k] = got
+    return got
+
+
 def ring_is_simple(ring: np.ndarray) -> bool:
     """True if no two non-adjacent ring segments intersect (exact, O(k^2)).
 
     The engine's input-validity check — the reference flags outputs touching
     invalid inputs via ST_IsValid (function_resolve_overlap_gap_post.sql:48-59).
+    The pair-index tables are cached per ring size: this runs once per input
+    polygon on the hot unwrap path.
     """
     r = np.asarray(ring, dtype=np.int64)
     k = len(r)
     if k < 3:
         return False
-    a = r
-    b = np.roll(r, -1, axis=0)
-    ii, jj = np.triu_indices(k, k=1)
-    adjacent = (jj - ii == 1) | ((ii == 0) & (jj == k - 1))
-    ii, jj = ii[~adjacent], jj[~adjacent]
+    ii, jj = _nonadjacent_pairs(k)
     if len(ii) == 0:
         return True
-    p1, p2 = a[ii], b[ii]
-    q1, q2 = a[jj], b[jj]
-
-    def orient(o, p, q):
-        return np.sign(
-            (p[:, 0] - o[:, 0]) * (q[:, 1] - o[:, 1])
-            - (p[:, 1] - o[:, 1]) * (q[:, 0] - o[:, 0])
-        )
-
-    d1 = orient(p1, p2, q1)
-    d2 = orient(p1, p2, q2)
-    d3 = orient(q1, q2, p1)
-    d4 = orient(q1, q2, p2)
-    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
-    if proper.any():
+    ax, ay = r[:, 0], r[:, 1]
+    bx = np.concatenate([ax[1:], ax[:1]])
+    by = np.concatenate([ay[1:], ay[:1]])
+    p1x, p1y, p2x, p2y = ax[ii], ay[ii], bx[ii], by[ii]
+    q1x, q1y, q2x, q2y = ax[jj], ay[jj], bx[jj], by[jj]
+    # bbox prefilter: disjoint bboxes cannot intersect
+    cand = (
+        (np.minimum(p1x, p2x) <= np.maximum(q1x, q2x))
+        & (np.minimum(q1x, q2x) <= np.maximum(p1x, p2x))
+        & (np.minimum(p1y, p2y) <= np.maximum(q1y, q2y))
+        & (np.minimum(q1y, q2y) <= np.maximum(p1y, p2y))
+    )
+    if not cand.any():
+        return True
+    p1x, p1y, p2x, p2y = p1x[cand], p1y[cand], p2x[cand], p2y[cand]
+    q1x, q1y, q2x, q2y = q1x[cand], q1y[cand], q2x[cand], q2y[cand]
+    dpx, dpy = p2x - p1x, p2y - p1y
+    dqx, dqy = q2x - q1x, q2y - q1y
+    d1 = dpx * (q1y - p1y) - dpy * (q1x - p1x)
+    d2 = dpx * (q2y - p1y) - dpy * (q2x - p1x)
+    d3 = dqx * (p1y - q1y) - dqy * (p1x - q1x)
+    d4 = dqx * (p2y - q1y) - dqy * (p2x - q1x)
+    if (((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0)
+            & ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0)).any():
         return False
-
-    def on_seg(o, p, q):
-        # q collinear with o-p and within bbox
-        col = (
-            (p[:, 0] - o[:, 0]) * (q[:, 1] - o[:, 1])
-            - (p[:, 1] - o[:, 1]) * (q[:, 0] - o[:, 0])
-        ) == 0
-        inx = (np.minimum(o[:, 0], p[:, 0]) <= q[:, 0]) & (q[:, 0] <= np.maximum(o[:, 0], p[:, 0]))
-        iny = (np.minimum(o[:, 1], p[:, 1]) <= q[:, 1]) & (q[:, 1] <= np.maximum(o[:, 1], p[:, 1]))
+    # endpoint-touch / collinear-overlap: an endpoint of one segment lying ON
+    # the other (bbox already guaranteed by `cand` for the pair, re-checked
+    # per point below)
+    def on_seg(ox, oy, px, py, dx_, dy_, qx, qy):
+        col = dx_ * (qy - oy) - dy_ * (qx - ox) == 0
+        inx = (np.minimum(ox, px) <= qx) & (qx <= np.maximum(ox, px))
+        iny = (np.minimum(oy, py) <= qy) & (qy <= np.maximum(oy, py))
         return col & inx & iny
 
     touch = (
-        on_seg(p1, p2, q1)
-        | on_seg(p1, p2, q2)
-        | on_seg(q1, q2, p1)
-        | on_seg(q1, q2, p2)
+        on_seg(p1x, p1y, p2x, p2y, dpx, dpy, q1x, q1y)
+        | on_seg(p1x, p1y, p2x, p2y, dpx, dpy, q2x, q2y)
+        | on_seg(q1x, q1y, q2x, q2y, dqx, dqy, p1x, p1y)
+        | on_seg(q1x, q1y, q2x, q2y, dqx, dqy, p2x, p2y)
     )
     return not touch.any()

@@ -45,19 +45,13 @@ def _canonicalize(segs: np.ndarray, labels: list[frozenset]) -> tuple[np.ndarray
     labels = [labels[i] for i in order]
     same = np.all(segs[1:] == segs[:-1], axis=1)
     if same.any():
-        out_segs, out_labels = [], []
-        i = 0
-        n = len(segs)
-        while i < n:
-            j = i + 1
-            acc = set(labels[i])
-            while j < n and np.array_equal(segs[j], segs[i]):
-                acc |= labels[j]
-                j += 1
-            out_segs.append(segs[i])
-            out_labels.append(frozenset(acc))
-            i = j
-        return np.asarray(out_segs, dtype=np.int64), out_labels
+        starts = np.flatnonzero(np.r_[True, ~same])
+        ends = np.r_[starts[1:], len(segs)]
+        out_labels = [
+            labels[s] if e - s == 1 else frozenset().union(*labels[s:e])
+            for s, e in zip(starts.tolist(), ends.tolist())
+        ]
+        return segs[starts], out_labels
     return segs, labels
 
 

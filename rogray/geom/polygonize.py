@@ -44,6 +44,131 @@ class Face:
 UNIVERSE = -2
 
 
+def _unique_points(pts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """np.unique(pts, axis=0) via packed 1-D int64 keys (coordinate RANGE
+    < 2^30 by the span_px < 2^28 bound, offset to non-negative) — several
+    times faster than the void-view sort of axis=0 unique."""
+    if len(pts) == 0:
+        return pts.reshape(0, 2).astype(np.int64), np.empty(0, np.int64)
+    mnx = np.int64(pts[:, 0].min())
+    mny = np.int64(pts[:, 1].min())
+    key = (pts[:, 0] - mnx) * np.int64(1 << 31) + (pts[:, 1] - mny)
+    uniq_keys, inv = np.unique(key, return_inverse=True)
+    uniq = np.empty((len(uniq_keys), 2), dtype=np.int64)
+    uniq[:, 0] = (uniq_keys >> 31) + mnx
+    uniq[:, 1] = (uniq_keys & np.int64((1 << 31) - 1)) + mny
+    return uniq, inv
+
+
+def _nesting_raycasts(
+    segs: np.ndarray,
+    seg_comp: np.ndarray,
+    uniq_pts: np.ndarray,
+    comp_bottom: np.ndarray,
+    cycle_of: np.ndarray,
+    ncomp: int,
+) -> list[int]:
+    """Containing cycle per component via exact downward ray casts from each
+    component's bottom vertex — vectorized.
+
+    Candidates come from a 1-D x-interval grid (O(total stabbing pairs),
+    not O(ncomp * nsegs)); the nearest-below crossing per query is selected
+    with float64 y-values, then every candidate within 0.5 px of the float
+    winner is re-compared with exact integer fractions (float error is
+    bounded by ~2^-52 * span << 0.5, so the window provably contains the
+    true maximum).
+    """
+    n = len(segs)
+    sx1, sy1, sx2, sy2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    qx_arr = uniq_pts[comp_bottom, 0]
+    qy_arr = uniq_pts[comp_bottom, 1]
+    containing = [-1] * ncomp
+
+    # 2-D bucket grid over segment bboxes: each query probes only its own
+    # x-column, moving DOWNWARD bucket by bucket and stopping as soon as the
+    # best crossing found lies at or above the bottom of the current bucket
+    # (all deeper buckets hold strictly lower crossings).  The cell width
+    # adapts upward until the bbox expansion is O(n).
+    ext = np.maximum(np.abs(sx2 - sx1), np.abs(sy2 - sy1))
+    cell = max(1, int(np.percentile(ext, 75)) if n else 1)
+    while True:
+        cx0 = np.minimum(sx1, sx2) // cell
+        cx1 = np.maximum(sx1, sx2) // cell
+        cy0 = np.minimum(sy1, sy2) // cell
+        cy1 = np.maximum(sy1, sy2) // cell
+        counts = ((cx1 - cx0 + 1) * (cy1 - cy0 + 1)).astype(np.int64)
+        total = int(counts.sum())
+        if total <= 8 * n or cell > (1 << 30):
+            break
+        cell *= 4
+    idx = np.repeat(np.arange(n), counts)
+    k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    nx_r = np.repeat(cx1 - cx0 + 1, counts)
+    col = np.repeat(cx0, counts) + k % nx_r
+    yb = np.repeat(cy0, counts) + k // nx_r
+    # pack (col, yb) collision-free: both ranges < 2^31 after offset
+    coff = np.int64(col.min()) if total else np.int64(0)
+    yoff = np.int64(yb.min()) if total else np.int64(0)
+    keys = (col - coff) * np.int64(1 << 31) + (yb - yoff)
+    order = np.argsort(keys, kind="stable")
+    keys_s, idx_s = keys[order], idx[order]
+    ukeys, kstarts = np.unique(keys_s, return_index=True)
+    kends = np.r_[kstarts[1:], len(keys_s)]
+    ucol = (ukeys >> np.int64(31)) + coff
+    uyb = (ukeys & np.int64((1 << 31) - 1)) + yoff
+    # per-column contiguous runs in (ucol, uyb) order (ukeys is col-major)
+    col_starts = np.flatnonzero(np.r_[True, ucol[1:] != ucol[:-1]])
+    col_ends = np.r_[col_starts[1:], len(ucol)]
+    col_range = {int(ucol[s]): (s, e) for s, e in zip(col_starts.tolist(), col_ends.tolist())}
+
+    for c in range(ncomp):
+        qx = int(qx_arr[c])
+        qy = int(qy_arr[c])
+        rng = col_range.get(qx // cell)
+        if rng is None:
+            continue
+        s0, e0 = rng
+        ybs = uyb[s0:e0]  # ascending occupied y-buckets of this column
+        j = int(np.searchsorted(ybs, qy // cell, side="right")) - 1
+        best_num = best_den = 0
+        best_seg = -1
+        best_val = -np.inf
+        while j >= 0:
+            bstart, bend = int(kstarts[s0 + j]), int(kends[s0 + j])
+            S = idx_s[bstart:bend]
+            den = sx2[S] - sx1[S]
+            ok = (sx1[S] <= qx) & (qx < sx2[S]) & (seg_comp[S] != c)
+            if ok.any():
+                Sv = S[ok]
+                denv = den[ok]
+                num = sy1[Sv] * denv + (qx - sx1[Sv]) * (sy2[Sv] - sy1[Sv])
+                below = num < qy * denv
+                if below.any():
+                    Sv, denv, num = Sv[below], denv[below], num[below]
+                    val = num.astype(np.float64) / denv.astype(np.float64)
+                    # float argmax + exact re-compare of near-ties (float
+                    # error ~2^-52 * span << 0.5 px window)
+                    bi = int(np.argmax(val))
+                    cand = np.flatnonzero(val >= val[bi] - 0.5)
+                    bn, bd, bs, bv = int(num[bi]), int(denv[bi]), int(Sv[bi]), float(val[bi])
+                    for t in cand.tolist():
+                        if t == bi:
+                            continue
+                        tn, td = int(num[t]), int(denv[t])
+                        if tn * bd > bn * td:
+                            bn, bd, bs, bv = tn, td, int(Sv[t]), float(val[t])
+                    if best_seg == -1 or bn * best_den > best_num * bd:
+                        best_num, best_den, best_seg, best_val = bn, bd, bs, bv
+            # stop: best crossing at/above the bottom of this bucket beats
+            # anything in strictly lower buckets (0.5 px float safety)
+            if best_seg != -1 and best_val >= float(int(ybs[j]) * cell) + 0.5:
+                break
+            j -= 1
+        if best_seg != -1:
+            containing[c] = int(cycle_of[2 * best_seg])  # upper side
+    return containing
+
+
 @dataclass
 class Arrangement:
     segs: np.ndarray                # (M,4) canonical noded segments
@@ -66,7 +191,7 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
     # ---- prune dangles (degree-1 chains) -------------------------------
     alive = np.ones(n, dtype=bool)
     pts = np.concatenate([segs[:, :2], segs[:, 2:]])
-    uniq_pts, inv = np.unique(pts, axis=0, return_inverse=True)
+    uniq_pts, inv = _unique_points(pts)
     u_node = inv[:n]
     v_node = inv[n:]
     while True:
@@ -84,7 +209,7 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
     labels = [labels[i] for i in keep_idx]
     n = len(segs)
     pts = np.concatenate([segs[:, :2], segs[:, 2:]])
-    uniq_pts, inv = np.unique(pts, axis=0, return_inverse=True)
+    uniq_pts, inv = _unique_points(pts)
     u_node = inv[:n]
     v_node = inv[n:]
 
@@ -189,11 +314,12 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
             parent[a] = b
     comp_of_node = np.array([find(int(i)) for i in range(len(uniq_pts))])
     comp_ids = np.unique(comp_of_node)
-    comp_index = {int(c): k for k, c in enumerate(comp_ids)}
-    seg_comp = np.array([comp_index[int(comp_of_node[u_node[i]])] for i in range(n)])
+    # vectorized comp-index lookup (comp_ids is sorted)
+    comp_idx_of_node = np.searchsorted(comp_ids, comp_of_node)
+    seg_comp = comp_idx_of_node[u_node]
     cycle_comp = {}
     for cid, path in enumerate(cycles_edges):
-        cycle_comp[cid] = comp_index[int(comp_of_node[e_orig[path[0]]])]
+        cycle_comp[cid] = int(comp_idx_of_node[e_orig[path[0]]])
 
     ncomp = len(comp_ids)
     # hull cycle per component = most negative cycle
@@ -206,32 +332,16 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
             hull_area[c] = a2
 
     # ---- component nesting via exact downward ray casts -----------------
-    # bottom vertex per component
+    # bottom vertex per component: first occurrence per comp in (y, x) order
     comp_bottom = np.full(ncomp, -1, dtype=np.int64)
-    key = uniq_pts[:, 1].astype(np.int64) * (1 << 30) + uniq_pts[:, 0]
-    for nd in np.lexsort((uniq_pts[:, 0], uniq_pts[:, 1]))[::-1]:
-        comp_bottom[comp_index[int(comp_of_node[nd])]] = nd
+    ord_asc = np.lexsort((uniq_pts[:, 0], uniq_pts[:, 1]))
+    comps_sorted, firsts = np.unique(comp_idx_of_node[ord_asc], return_index=True)
+    comp_bottom[comps_sorted] = ord_asc[firsts]
     containing_cycle = [-1] * ncomp  # cycle whose region contains this component
     if ncomp > 1:
-        sx1, sy1, sx2, sy2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
-        for c in range(ncomp):
-            v = uniq_pts[comp_bottom[c]]
-            qx, qy = int(v[0]), int(v[1])
-            straddle = ((sx1 <= qx) & (qx < sx2)) | ((sx2 <= qx) & (qx < sx1))
-            cand = np.flatnonzero(straddle & (seg_comp != c))
-            best = -1
-            bn = bd = 0  # best crossing y as fraction bn/bd (bd>0)
-            for i in cand.tolist():
-                x1, y1, x2, y2 = int(sx1[i]), int(sy1[i]), int(sx2[i]), int(sy2[i])
-                den = x2 - x1  # canonical => x1 < x2 here (non-vertical straddler)
-                num = y1 * den + (qx - x1) * (y2 - y1)
-                # strictly below q: num/den < qy
-                if num >= qy * den:
-                    continue
-                if best == -1 or num * bd > bn * den:  # nearest = max y
-                    best, bn, bd = i, num, den
-            if best != -1:
-                containing_cycle[c] = int(cycle_of[2 * best])  # upper side
+        containing_cycle = _nesting_raycasts(
+            segs, seg_comp, uniq_pts, comp_bottom, cycle_of, ncomp
+        )
     # resolve containment to faces + universe set
     universe_cycles: set[int] = set()
     for c in range(ncomp):
@@ -270,10 +380,24 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
     for c in range(ncomp):
         visit(c)
 
-    # segment adjacency lists per component
-    segs_by_comp: list[list[int]] = [[] for _ in range(ncomp)]
-    for i in range(n):
-        segs_by_comp[seg_comp[i]].append(i)
+    # segment adjacency lists per component / per cycle, built by grouping a
+    # sorted index array (no per-element dict setdefault)
+    cl_all = cycle_of[0::2]
+    cr_all = cycle_of[1::2]
+    seg_dup = np.concatenate([np.arange(n), np.arange(n)])
+    comp_dup = np.concatenate([seg_comp, seg_comp])
+    cyc_dup = np.concatenate([cl_all, cr_all])
+    ordc = np.lexsort((cyc_dup, comp_dup))
+    comp_sorted_d = comp_dup[ordc]
+    cyc_sorted_d = cyc_dup[ordc]
+    seg_sorted_d = seg_dup[ordc]
+    grp_starts = np.flatnonzero(
+        np.r_[True, (comp_sorted_d[1:] != comp_sorted_d[:-1]) | (cyc_sorted_d[1:] != cyc_sorted_d[:-1])]
+    )
+    grp_ends = np.r_[grp_starts[1:], len(ordc)]
+    cyc_segs_by_comp: dict[int, dict[int, np.ndarray]] = {}
+    for s, e in zip(grp_starts.tolist(), grp_ends.tolist()):
+        cyc_segs_by_comp.setdefault(int(comp_sorted_d[s]), {})[int(cyc_sorted_d[s])] = seg_sorted_d[s:e]
 
     for c in comp_order:
         cc = containing_cycle[c]
@@ -282,10 +406,7 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
         cov = {hull: outside}
         # BFS across segments
         stack = [hull]
-        cyc_segs: dict[int, list[int]] = {}
-        for i in segs_by_comp[c]:
-            cyc_segs.setdefault(int(cycle_of[2 * i]), []).append(i)
-            cyc_segs.setdefault(int(cycle_of[2 * i + 1]), []).append(i)
+        cyc_segs = cyc_segs_by_comp.get(int(c), {})
         while stack:
             cur = stack.pop()
             for i in cyc_segs.get(cur, ()):
@@ -338,10 +459,15 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
     faces: list[Face] = []
     cycle_left = cycle_of[0::2].copy()
     cycle_right = cycle_of[1::2].copy()
-    seg_lists: dict[int, list[int]] = {}
-    for i in range(n):
-        seg_lists.setdefault(int(cycle_left[i]), []).append(i)
-        seg_lists.setdefault(int(cycle_right[i]), []).append(i)
+    ordl = np.argsort(cyc_dup, kind="stable")
+    cyc_sorted_l = cyc_dup[ordl]
+    seg_sorted_l = seg_dup[ordl]
+    sl_starts = np.flatnonzero(np.r_[True, cyc_sorted_l[1:] != cyc_sorted_l[:-1]])
+    sl_ends = np.r_[sl_starts[1:], len(ordl)]
+    seg_lists: dict[int, list[int]] = {
+        int(cyc_sorted_l[s]): seg_sorted_l[s:e].tolist()
+        for s, e in zip(sl_starts.tolist(), sl_ends.tolist())
+    }
     for cid, a2 in cycle_area2.items():
         if a2 <= 0:
             continue

@@ -87,16 +87,29 @@ def resolve_overlap_gap(
         stages.TileOverlay(grid, t.utm, cfg.clean.min_area_to_keep, coarse_level),
         batch_format="pyarrow",
     )
-    # two-level border stitch: (signature, coarse cell) groups first, then
-    # only coarse-frontier pieces meet in the global groups — the straggler
-    # group shrinks to frontier chains instead of every border piece
-    st1 = faces.groupby("stitch_key").map_groups(
-        stages.stitch_local, batch_format="pyarrow"
+    # multi-level border stitch: coarse-cell buckets, then (when the grid is
+    # deep enough) a spatial mid level that dissolves giant signature
+    # groups — the gap/universe network above all — in parallel, then
+    # per-signature global groups.  Only still-frontier pieces escalate a
+    # level, so the straggler group shrinks geometrically.
+    mid_level = _mid_level(coarse_level)
+    st = faces.groupby("stitch_key").map_groups(
+        stages.StitchLocal(mid_level), batch_format="pyarrow"
     )
-    stitched = st1.groupby("stitch_key").map_groups(
+    if mid_level is not None:
+        st = st.groupby("stitch_key").map_groups(
+            stages.stitch_mid, batch_format="pyarrow"
+        )
+    stitched = st.groupby("stitch_key").map_groups(
         stages.stitch_global, batch_format="pyarrow"
     )
     return _finalize_join(stitched, ds, grid, t.utm)
+
+
+def _mid_level(coarse_level: int) -> int | None:
+    """Spatial mid-stitch level: two levels above the coarse buckets (16x
+    the area), or None when the hierarchy is too shallow to help."""
+    return coarse_level - 2 if coarse_level >= 2 else None
 
 
 def _coarse_level(plan: ResolvePlan, base_level: int) -> int:
@@ -281,10 +294,15 @@ def resolve_overlap_gap_resumable(
     pending.count()  # drive the checkpointing pass
 
     faces = manifest.read_all(out_dir)
-    st1 = faces.groupby("stitch_key").map_groups(
-        stages.stitch_local, batch_format="pyarrow"
+    mid_level = _mid_level(coarse_level)
+    st = faces.groupby("stitch_key").map_groups(
+        stages.StitchLocal(mid_level), batch_format="pyarrow"
     )
-    stitched = st1.groupby("stitch_key").map_groups(
+    if mid_level is not None:
+        st = st.groupby("stitch_key").map_groups(
+            stages.stitch_mid, batch_format="pyarrow"
+        )
+    stitched = st.groupby("stitch_key").map_groups(
         stages.stitch_global, batch_format="pyarrow"
     )
     return _finalize_join(stitched, ds, grid, t.utm)

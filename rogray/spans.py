@@ -42,17 +42,36 @@ def make_spans_column(span_lists: list[list[tuple[str, str, str, int]]]) -> pa.A
 
 
 def extract_geometry_wkb(spans_col: pa.ChunkedArray | pa.Array) -> list[bytes | None]:
-    """WKB bytes of the first 'geometry' span per document (None if absent)."""
+    """WKB bytes of the first 'geometry' span per document (None if absent).
+
+    Vectorized: flatten the list<struct> column once, find geometry spans
+    with an Arrow equality kernel, pick the first per parent row — no
+    to_pylist of the nested column (that walk dominated the unwrap stage)."""
+    import pyarrow.compute as pc
+
     if isinstance(spans_col, pa.ChunkedArray):
         spans_col = spans_col.combine_chunks()
-    out: list[bytes | None] = []
-    for doc in spans_col.to_pylist():
-        wkb_hex = None
-        for s in doc or []:
-            if s["kind"] == GEOMETRY_KIND:
-                wkb_hex = s["text"]
-                break
-        out.append(bytes.fromhex(wkb_hex) if wkb_hex else None)
+    n = len(spans_col)
+    out: list[bytes | None] = [None] * n
+    if n == 0:
+        return out
+    flat = spans_col.flatten()
+    if len(flat) == 0:
+        return out
+    parents = pc.list_parent_indices(spans_col).to_numpy(zero_copy_only=False)
+    is_geo = pc.fill_null(
+        pc.equal(flat.field("kind"), GEOMETRY_KIND), False
+    ).to_numpy(zero_copy_only=False)
+    geo_idx = np.flatnonzero(is_geo)
+    if len(geo_idx) == 0:
+        return out
+    geo_parents = parents[geo_idx]
+    # parents are non-decreasing: first geometry span per row
+    rows, first_pos = np.unique(geo_parents, return_index=True)
+    sel = geo_idx[first_pos]
+    hexes = flat.field("text").take(pa.array(sel, pa.int64())).to_pylist()
+    for p, hx in zip(rows.tolist(), hexes):
+        out[p] = bytes.fromhex(hx) if hx else None
     return out
 
 

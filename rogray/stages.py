@@ -34,7 +34,10 @@ writer).
 
 from __future__ import annotations
 
+import json
+import os
 import struct
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -80,6 +83,22 @@ def unpack_rings(buf: bytes) -> tuple[list[np.ndarray], list[np.ndarray]]:
         rings.append(r.astype(np.int64))
         masks.append(m.copy())
     return rings, masks
+
+
+def _stage_log(stage: str, key, n_in: int, n_out: int, sec: float) -> None:
+    """Optional per-group diagnostics (IO3 analogue of the reference's
+    `<prefix>_long_time_log2` slow-job table, cell.sql:925-927): set
+    ROGRAY_STAGE_LOG=<path> to append one JSON line per group.  Appends of
+    short lines with O_APPEND are atomic enough for diagnostics."""
+    path = os.environ.get("ROGRAY_STAGE_LOG")
+    if not path:
+        return
+    line = json.dumps(
+        {"stage": stage, "key": str(key), "n_in": n_in, "n_out": n_out,
+         "sec": round(sec, 4), "pid": os.getpid()}
+    )
+    with open(path, "a") as f:
+        f.write(line + "\n")
 
 
 FACE_SCHEMA = pa.schema(
@@ -426,8 +445,11 @@ class TileOverlay:
                 )
         else:
             min_area2, area2_fn = 0.0, None
+        t0 = time.monotonic()
         faces = arrangement.overlay_tile(polys, bounds, min_area2, area2_fn, lines=lines)
-        return faces_to_table(faces, tile, valid_of, self.coarse_level)
+        out = faces_to_table(faces, tile, valid_of, self.coarse_level)
+        _stage_log("overlay", tile, len(group), len(out), time.monotonic() - t0)
+        return out
 
 
 def faces_to_table(
@@ -575,7 +597,14 @@ def _face_table(rows: dict) -> pa.Table:
     )
 
 
-def _assemble(group: pa.Table, final: bool) -> pa.Table:
+def _default_esc_key(cov_sorted: list[int], min_tile: int) -> str:
+    import zlib as _z
+
+    sig_str = ",".join(map(str, cov_sorted))
+    return f"g:{_z.crc32(sig_str.encode())}"
+
+
+def _assemble(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) -> pa.Table:
     """Assemble border pieces sharing a coverage signature (one stitch level).
 
     Cancels tile-border segments with same-coverage faces on both sides
@@ -674,13 +703,10 @@ def _assemble(group: pa.Table, final: bool) -> pa.Table:
             continue
         frontier = _TILEB_LBL in f.touches
         if frontier and not final:
-            # escalate to the global stitch with masks preserved
-            import zlib as _z
-
+            # escalate to the next stitch level with masks preserved
             masks = [tileb_mask(f.shell_seg)] + [tileb_mask(h) for h in f.holes_seg]
-            sig_str = ",".join(map(str, sorted(cov)))
             cols["tile"].append(min_tile)
-            cols["stitch_key"].append(f"g:{_z.crc32(sig_str.encode()) % 64}")
+            cols["stitch_key"].append(esc_key_fn(sorted(cov), min_tile))
             cols["kind"].append(1)
             cols["rings"].append(pack_rings([f.shell] + f.holes, masks))
             cols["cov"].append(sorted(cov))
@@ -705,7 +731,7 @@ def _assemble(group: pa.Table, final: bool) -> pa.Table:
     return _face_table(cols)
 
 
-def _assemble_bucket(group: pa.Table, final: bool) -> pa.Table:
+def _assemble_bucket(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) -> pa.Table:
     """Split a bucket of border pieces by coverage signature and assemble
     each signature independently; one Ray group handles many signatures so
     the per-group scheduling overhead stays off the hot path."""
@@ -717,27 +743,76 @@ def _assemble_bucket(group: pa.Table, final: bool) -> pa.Table:
     for sig in sorted(by_sig):
         idx = by_sig[sig]
         sub = group.take(pa.array(idx, pa.int64()))
-        outs.append(_assemble(sub, final=final))
+        outs.append(_assemble(sub, final=final, esc_key_fn=esc_key_fn))
     outs = [o for o in outs if len(o)]
     if not outs:
         return _face_table({k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")})
     return pa.concat_tables(outs)
 
 
+class StitchLocal:
+    """Level-1 stitch: one bucket per coarse parent cell.  Escalation goes
+    to the mid level (spatial buckets at ``mid_level``) when configured,
+    else straight to the per-signature global groups.  The mid level is a
+    pure optimization: pieces that miss each other at mid still meet at
+    the global level, so ANY deterministic keying here is correct."""
+
+    def __init__(self, mid_level: int | None = None):
+        self.__name__ = "StitchLocal"  # map_groups task-fn contract
+        self.mid_level = mid_level
+
+    def _esc(self, cov_sorted: list[int], min_tile: int) -> str:
+        if self.mid_level is None:
+            return _default_esc_key(cov_sorted, min_tile)
+        import zlib as _z
+
+        tile_level = int(np.uint64(min_tile) >> np.uint64(quadkey.LEVEL_SHIFT))
+        cell = int(
+            quadkey.parent(
+                np.asarray([min_tile], dtype=np.uint64),
+                min(self.mid_level, tile_level),
+            )[0]
+        )
+        sig_str = ",".join(map(str, cov_sorted))
+        return f"m:{_z.crc32(sig_str.encode())}:{cell}"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy()
+        if (kinds == 0).all():
+            return group  # interior faces: pass through
+        t0 = time.monotonic()
+        out = _assemble_bucket(group, final=False, esc_key_fn=self._esc)
+        _stage_log("stitch_local", group["stitch_key"][0].as_py(), len(group), len(out), time.monotonic() - t0)
+        return out
+
+
 def stitch_local(group: pa.Table) -> pa.Table:
-    """Level-1 stitch: one bucket per coarse parent cell."""
-    kinds = group["kind"].to_numpy()
-    if (kinds == 0).all():
-        return group  # interior faces: pass through
-    return _assemble_bucket(group, final=False)
+    """Level-1 stitch with direct-to-global escalation (no mid level)."""
+    return StitchLocal(None)(group)
 
 
-def stitch_global(group: pa.Table) -> pa.Table:
-    """Level-2 stitch: hashed global buckets of coarse-frontier pieces."""
+def stitch_mid(group: pa.Table) -> pa.Table:
+    """Optional spatial mid level: assembles (signature, mid-cell) buckets
+    so giant signature groups (the gap/universe network above all) are
+    dissolved in parallel before the per-signature global groups."""
     kinds = group["kind"].to_numpy()
     if (kinds == 0).all():
         return group
-    return _assemble_bucket(group, final=True)
+    t0 = time.monotonic()
+    out = _assemble_bucket(group, final=False, esc_key_fn=_default_esc_key)
+    _stage_log("stitch_mid", group["stitch_key"][0].as_py(), len(group), len(out), time.monotonic() - t0)
+    return out
+
+
+def stitch_global(group: pa.Table) -> pa.Table:
+    """Final stitch: per-signature global groups."""
+    kinds = group["kind"].to_numpy()
+    if (kinds == 0).all():
+        return group
+    t0 = time.monotonic()
+    out = _assemble_bucket(group, final=True)
+    _stage_log("stitch_global", group["stitch_key"][0].as_py(), len(group), len(out), time.monotonic() - t0)
+    return out
 
 
 def stitch_group(group: pa.Table) -> pa.Table:
