@@ -412,16 +412,25 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
             for i in cyc_segs.get(cur, ()):
                 left = int(cycle_of[2 * i])
                 right = int(cycle_of[2 * i + 1])
-                add_left = {p for p, s in labels[i] if s == 1}
-                add_right = {p for p, s in labels[i] if s == -1}
-                both = add_left & add_right
-                add_left -= both
-                add_right -= both
+                # EVEN-ODD toggles (symmetric difference): crossing a
+                # segment flips membership for every poly whose boundary it
+                # carries with exactly one orientation.  For valid (simple)
+                # polygons this is identical to the directional
+                # remove-left/add-right update; for INVALID self-crossing
+                # boundaries the directional update is path-dependent (two
+                # BFS spanning trees can disagree), which made coverage —
+                # and therefore winner attribution — depend on the tiling.
+                # Even-odd is Z2-consistent for any node-parity-even
+                # boundary, i.e. deterministic and tiling-independent.
+                sides: dict[int, set] = {}
+                for p, s in labels[i]:
+                    sides.setdefault(p, set()).add(s)
+                tog = frozenset(p for p, ss in sides.items() if len(ss) == 1)
                 if left == cur and right not in cov:
-                    cov[right] = frozenset((cov[left] - add_left) | add_right)
+                    cov[right] = cov[left] ^ tog
                     stack.append(right)
                 elif right == cur and left not in cov:
-                    cov[left] = frozenset((cov[right] - add_right) | add_left)
+                    cov[left] = cov[right] ^ tog
                     stack.append(left)
         cycle_cov.update(cov)
 

@@ -166,3 +166,52 @@ class TestCentsRounding:
             for v in vals
         ]
         assert _cents(np.array(vals)).tolist() == want
+
+
+class TestTilingIndependenceAtScale:
+    def test_multi_equals_single_tile_1500(self, ray_session):
+        """The 64-doc tiling-independence test missed a coverage bug that
+        only shows with enough invalid (self-crossing) inputs: directional
+        flood-fill updates were path-dependent for invalid boundaries, so
+        winner attribution depended on the tiling.  This pins the invariant
+        at a scale where that class of bug is visible (1500 docs includes
+        ~15 bowties and ~36 duplicate-contained polygons)."""
+        import ray.data as rd
+
+        import rogray.sources as sources
+        from rogray.config import ResolveConfig, TopologyConfig
+        from rogray.pipelines import resolve
+        from tests.test_resolve_pipeline import canonical_face_key
+
+        ds = rd.read_parquet(sources.docs_path_for("x", 1500))
+        multi = resolve.resolve_overlap_gap(
+            ds,
+            ResolveConfig(topology=TopologyConfig(
+                snap_tolerance=1e-5, max_rows_in_each_cell=150, base_level=2)),
+        ).to_pandas()
+        single = resolve.resolve_overlap_gap(
+            ds,
+            ResolveConfig(topology=TopologyConfig(
+                snap_tolerance=1e-5, max_rows_in_each_cell=10**9, base_level=0)),
+        ).to_pandas()
+        assert len(multi) == len(single)
+        k1 = {
+            canonical_face_key(r["wkb"], r["winner_pk"], r["other_intersect_id_list"])
+            for _, r in multi.iterrows()
+        }
+        k2 = {
+            canonical_face_key(r["wkb"], r["winner_pk"], r["other_intersect_id_list"])
+            for _, r in single.iterrows()
+        }
+        # Residual tolerance: snap-round noding near tile borders can move a
+        # junction vertex by <= 1 px (hot-pixel snap), perturbing a face
+        # where three regions meet — sub-pixel, area-neutral, and bounded.
+        # Everything else must be bit-identical.
+        divergent = len(k1 ^ k2)
+        assert divergent <= max(2, len(k1) // 500), f"{divergent} divergent faces"
+        # attribution mass must agree to float precision regardless
+        gm = multi.groupby("winner_pk")["area"].sum()
+        gs = single.groupby("winner_pk")["area"].sum()
+        j = gm.to_frame("m").join(gs.to_frame("s"), how="outer").fillna(0.0)
+        rel = (j["m"] - j["s"]).abs().sum() / single["area"].sum()
+        assert rel < 1e-7, rel
