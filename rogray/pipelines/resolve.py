@@ -20,7 +20,6 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-import ray
 import ray.data as rd
 
 from .. import spans as spans_mod
@@ -147,20 +146,40 @@ def _marker_table(plan: ResolvePlan, exclude: set[int] | None = None):
     )
 
 
+_JOIN_SCHEMA = pa.schema(
+    [
+        ("jk", pa.int64()),          # join key: winner_pk / doc pk
+        ("is_doc", pa.bool_()),
+        ("tile", pa.int64()),
+        ("rings", pa.large_binary()),
+        ("winner_pk", pa.int64()),
+        ("others_s", pa.string()),
+        ("is_valid", pa.bool_()),
+        ("w_doc_id", pa.string()),
+        ("w_spans_json", pa.string()),
+    ]
+)
+
+
 def _finalize_join(stitched, ds, grid, utm):
-    """JT7 attribute copy as a distributed left hash join on winner_pk
-    (cell.sql:869-873) — no driver-side materialization of the input."""
+    """JT7 attribute copy (cell.sql:869-873) as a reduce-side join: face
+    rows and (pk, doc payload) rows shuffle to the same winner_pk key, the
+    group attaches the winner's doc_id/spans to every face.  Task-pool
+    sort shuffle throughout — no join-aggregator actors to start (they
+    also reserved CPUs on small clusters), no driver materialization, and
+    sorts consume the 0-row schema-less blocks that crash Ray's hash-join
+    schema broadcast."""
 
-    def docs_min(t):
+    def docs_min(t: pa.Table) -> pa.Table:
         import json
-
-        import pyarrow as pa
 
         from ..ids import stable_pk
 
+        n = len(t)
         ids = t["doc_id"].to_pylist()
         pks = [stable_pk(did) for did in ids]
-        # Arrow join cannot carry list<struct> payloads: spans ride as JSON
+        # spans ride as JSON (list<struct> does not survive concat/take
+        # uniformly across block types)
         spans_json = [
             json.dumps(
                 [[sp["kind"], sp["text"], sp["media_ref"], sp["offset"]] for sp in doc]
@@ -169,43 +188,68 @@ def _finalize_join(stitched, ds, grid, utm):
         ]
         return pa.table(
             {
-                "pk": pa.array(pks, pa.int64()),
-                "w_doc_id": t["doc_id"].combine_chunks(),
+                "jk": pa.array(pks, pa.int64()),
+                "is_doc": pa.array([True] * n, pa.bool_()),
+                "tile": pa.array([0] * n, pa.int64()),
+                "rings": pa.array([None] * n, pa.large_binary()),
+                "winner_pk": pa.array([0] * n, pa.int64()),
+                "others_s": pa.array([None] * n, pa.string()),
+                "is_valid": pa.array([True] * n, pa.bool_()),
+                "w_doc_id": t["doc_id"].cast(pa.string()).combine_chunks(),
                 "w_spans_json": pa.array(spans_json, pa.string()),
-            }
+            },
+            schema=_JOIN_SCHEMA,
         )
 
-    def prep(t):
-        import pyarrow as pa
-
-        # Arrow hash join rejects list payload columns: encode `others`
-        # as a string, drop `cov` (not part of the output schema)
+    def prep(t: pa.Table) -> pa.Table:
+        n = len(t)
         others = [",".join(map(str, o or [])) for o in t["others"].to_pylist()]
-        return (
-            t.drop_columns(["cov", "others", "stitch_key", "kind"])
-            .append_column("others_s", pa.array(others, pa.string()))
+        return pa.table(
+            {
+                "jk": t["winner_pk"].combine_chunks(),
+                "is_doc": pa.array([False] * n, pa.bool_()),
+                "tile": t["tile"].combine_chunks(),
+                "rings": t["rings"].combine_chunks(),
+                "winner_pk": t["winner_pk"].combine_chunks(),
+                "others_s": pa.array(others, pa.string()),
+                "is_valid": t["is_valid"].combine_chunks(),
+                "w_doc_id": pa.array([None] * n, pa.string()),
+                "w_spans_json": pa.array([None] * n, pa.string()),
+            },
+            schema=_JOIN_SCHEMA,
         )
 
-    stitched = stitched.map_batches(prep, batch_format="pyarrow")
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    # Ray's hash join broadcasts the left schema to all join partitions from
-    # the FIRST left block only — and marks the broadcast done even when
-    # that block is a 0-row schema-less block emitted by an upstream sort
-    # (ray.data hash_shuffle._shuffle_block early-returns on num_rows==0 but
-    # _has_schemas_broadcasted is set regardless).  A partition that then
-    # receives no left rows builds a schema-less table and the Arrow join
-    # raises "No match for FieldRef(winner_pk)".  Rebuilding blocks here
-    # scrubs schema-less empties; it runs on the trimmed face schema (rings
-    # + 5 scalar cols), not the raw input.
-    stitched = stitched.repartition(max(2, cpus // 2))
-    docs_side = ds.map_batches(docs_min, batch_format="pyarrow")
-    joined = stitched.join(
-        docs_side,
-        join_type="left_outer",
-        num_partitions=max(2, cpus // 2),
-        on=("winner_pk",),
-        right_on=("pk",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+    def attach(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
+        faces_idx = np.flatnonzero(~is_doc)
+        if len(faces_idx) == 0:
+            return _JOIN_SCHEMA.empty_table().drop_columns(["jk", "is_doc"])
+        doc_idx = np.flatnonzero(is_doc)
+        faces = g.take(pa.array(faces_idx, pa.int64()))
+        out = faces.drop_columns(["jk", "is_doc"])
+        if len(doc_idx):
+            i = int(doc_idx[0])
+            nf = len(faces)
+            out = out.set_column(
+                out.schema.get_field_index("w_doc_id"),
+                "w_doc_id",
+                pa.array([g["w_doc_id"][i].as_py()] * nf, pa.string()),
+            )
+            out = out.set_column(
+                out.schema.get_field_index("w_spans_json"),
+                "w_spans_json",
+                pa.array([g["w_spans_json"][i].as_py()] * nf, pa.string()),
+            )
+        return out
+
+    attach.__name__ = "attach_winner"
+    joined = (
+        stitched.map_batches(prep, batch_format="pyarrow")
+        .union(ds.map_batches(docs_min, batch_format="pyarrow"))
+        .groupby("jk")
+        .map_groups(attach, batch_format="pyarrow")
     )
     return joined.map_batches(
         stages.FinalizeJoined(grid, utm), batch_format="pyarrow"

@@ -331,19 +331,18 @@ def compute_cut(
     fine_level = min(fine_level, grid.max_level())
     base_level = min(base_level, fine_level)
 
-    from ray.data.aggregate import Sum
-
     n_rows = docs_ds.count()  # parquet metadata, no data read
     frac = min(1.0, sample_target / max(1, n_rows))
     hist_ds = docs_ds if frac >= 1.0 else docs_ds.random_sample(frac, seed=42)
-    rows = (
-        histogram_cells(hist_ds, grid, fine_level)
-        .groupby("cell")
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
-    cells = np.array([r["cell"] for r in rows], dtype=np.uint64)
-    counts = np.array([r["n"] for r in rows], dtype=np.int64)
+    # per-batch partials are already tiny (bounded by occupied fine cells):
+    # sum them driver-side instead of paying a groupby shuffle's fixed
+    # latency — the collected rows are partial counts, NOT raw data
+    acc: dict[int, int] = {}
+    for r in histogram_cells(hist_ds, grid, fine_level).take_all():
+        c = int(r["cell"])
+        acc[c] = acc.get(c, 0) + int(r["n"])
+    cells = np.fromiter(acc.keys(), dtype=np.uint64, count=len(acc))
+    counts = np.fromiter(acc.values(), dtype=np.int64, count=len(acc))
     if frac < 1.0:
         counts = np.maximum(1, (counts / frac).astype(np.int64))
     cut = balance.build_cut(cells, counts, base_level, fine_level, max_rows)
@@ -731,6 +730,151 @@ def _assemble(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) -> pa.T
     return _face_table(cols)
 
 
+def _assemble_gap_final(group: pa.Table) -> pa.Table:
+    """Final-level assembly of the cov=∅ (gap/universe) signature WITHOUT
+    ever polygonizing the universe chain.
+
+    The universe region's boundary is the square frontier plus every gap
+    corridor reaching it — at scale that is a large fraction of all edge
+    detail, and assembling it in one group was the pipeline's serial tail
+    (it is then DROPPED anyway: the reference never emits the universe
+    face).  Instead:
+
+    1. every piece's pure tile-border segments are axis-aligned intervals
+       on quantized border lines; a sweep per line glues pieces whose
+       intervals overlap (opposite sides of the border) and marks pieces
+       owning an interval stretch with no partner as EXPOSED (open to the
+       outside — ultimately the tiling-square frontier);
+    2. union-find over glue pairs yields the gap REGIONS as piece
+       components;
+    3. components containing an exposed piece are the universe: dropped
+       wholesale, no noding, no polygonize;
+    4. enclosed components assemble individually (small, local).
+
+    T-junctions between different tile levels are handled by the interval
+    sweep (partial overlaps glue; uncovered stretches expose), matching
+    the noding-based semantics of the general path.
+    """
+    by_comp, comp_exposed = _glue_gap_components(group)
+    outs = []
+    for c in sorted(by_comp):
+        if comp_exposed[c]:
+            continue  # universe: connected to the outside, never emitted
+        sub = group.take(pa.array(by_comp[c], pa.int64()))
+        outs.append(_assemble(sub, final=True))
+    outs = [o for o in outs if len(o)]
+    if not outs:
+        return _face_table({k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")})
+    return pa.concat_tables(outs)
+
+
+def _glue_gap_components(group: pa.Table) -> tuple[dict[int, list[int]], dict[int, bool]]:
+    """Union-find gap pieces by overlapping tile-border intervals.
+
+    Returns (components: root -> piece indices, exposed: root -> bool).
+    Exposed = some border stretch has no partner inside this group."""
+    n = len(group)
+    rings_col = group["rings"].to_pylist()
+    lines, los, his, pids = [], [], [], []
+    for i in range(n):
+        rings, masks = unpack_rings(rings_col[i])
+        for r, m in zip(rings, masks):
+            if len(r) < 2:
+                continue
+            nxt = np.roll(r, -1, axis=0)
+            mb = m.astype(bool)
+            if not mb.any():
+                continue
+            a = r[mb]
+            b = nxt[mb]
+            vert = a[:, 0] == b[:, 0]
+            for k in range(len(a)):
+                if vert[k]:
+                    key = (1, int(a[k, 0]))
+                    lo, hi = sorted((int(a[k, 1]), int(b[k, 1])))
+                else:
+                    key = (0, int(a[k, 1]))
+                    lo, hi = sorted((int(a[k, 0]), int(b[k, 0])))
+                if lo == hi:
+                    continue
+                lines.append(key)
+                los.append(lo)
+                his.append(hi)
+                pids.append(i)
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    exposed = [False] * n
+    order = sorted(range(len(lines)), key=lambda k: (lines[k], los[k]))
+    k0 = 0
+    while k0 < len(order):
+        k1 = k0
+        line = lines[order[k0]]
+        while k1 < len(order) and lines[order[k1]] == line:
+            k1 += 1
+        evs = []
+        for k in order[k0:k1]:
+            evs.append((los[k], 1, pids[k]))
+            evs.append((his[k], 0, pids[k]))
+        evs.sort(key=lambda e: (e[0], e[1]))
+        active: dict[int, int] = {}
+        prev_pos = None
+        for pos, kind, pid in evs:
+            if prev_pos is not None and pos > prev_pos and len(active) == 1:
+                exposed[next(iter(active))] = True
+            if kind == 1:
+                for other in active:
+                    a, b = find(pid), find(other)
+                    if a != b:
+                        parent[a] = b
+                active[pid] = active.get(pid, 0) + 1
+            else:
+                active[pid] -= 1
+                if active[pid] == 0:
+                    del active[pid]
+            prev_pos = pos
+        k0 = k1
+    comp_exposed: dict[int, bool] = {}
+    by_comp: dict[int, list[int]] = {}
+    for i in range(n):
+        c = find(i)
+        comp_exposed[c] = comp_exposed.get(c, False) or exposed[i]
+        by_comp.setdefault(c, []).append(i)
+    return by_comp, comp_exposed
+
+
+def _assemble_gap_partial(group: pa.Table, esc_key_fn) -> pa.Table:
+    """Non-final levels of the cov=∅ signature: assemble only components
+    fully enclosed within this group (they finalize here); frontier
+    components' pieces are FORWARDED unassembled to the next level — the
+    universe chain is never noded or polygonized at any level (the final
+    level drops it wholesale via the same gluing)."""
+    by_comp, comp_exposed = _glue_gap_components(group)
+    outs = []
+    fwd_idx: list[int] = []
+    for c in sorted(by_comp):
+        if comp_exposed[c]:
+            fwd_idx.extend(by_comp[c])
+        else:
+            sub = group.take(pa.array(by_comp[c], pa.int64()))
+            outs.append(_assemble(sub, final=False, esc_key_fn=esc_key_fn))
+    if fwd_idx:
+        fwd = group.take(pa.array(sorted(fwd_idx), pa.int64()))
+        tiles = fwd["tile"].to_pylist()
+        keys = pa.array([esc_key_fn([], int(t)) for t in tiles], pa.string())
+        fwd = fwd.set_column(fwd.schema.get_field_index("stitch_key"), "stitch_key", keys)
+        outs.append(fwd)
+    outs = [o for o in outs if len(o)]
+    if not outs:
+        return _face_table({k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")})
+    return pa.concat_tables(outs)
+
+
 def _assemble_bucket(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) -> pa.Table:
     """Split a bucket of border pieces by coverage signature and assemble
     each signature independently; one Ray group handles many signatures so
@@ -743,7 +887,14 @@ def _assemble_bucket(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) 
     for sig in sorted(by_sig):
         idx = by_sig[sig]
         sub = group.take(pa.array(idx, pa.int64()))
-        outs.append(_assemble(sub, final=final, esc_key_fn=esc_key_fn))
+        if sig == ():
+            outs.append(
+                _assemble_gap_final(sub)
+                if final
+                else _assemble_gap_partial(sub, esc_key_fn)
+            )
+        else:
+            outs.append(_assemble(sub, final=final, esc_key_fn=esc_key_fn))
     outs = [o for o in outs if len(o)]
     if not outs:
         return _face_table({k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")})
