@@ -133,6 +133,7 @@ def overlay_tile(
     min_area2_px: float = 0.0,
     area2_fn=None,
     lines: list[tuple[int, list[np.ndarray]]] | None = None,
+    smooth: dict | None = None,
 ) -> list[TileFace]:
     """Overlay for one tile.
 
@@ -169,6 +170,8 @@ def overlay_tile(
             for f in kept
         ]
     heal_border_touch_vertices(out, arr, tile_bounds)
+    if smooth:
+        smooth_tile_faces(out, arr, tile_bounds, **smooth)
     return out
 
 
@@ -375,3 +378,293 @@ def heal_border_touch_vertices(
             new_masks.append(m)
         f.rings = new_rings
         f.masks = new_masks
+
+
+# ---------------------------------------------------------------------------
+# in-topology border smoothing (reference JT5: simplify + chaikins applied to
+# the resolved faces' edges inside each cell, cell.sql:642-756 +
+# chaikins.sql:9-218).  Face boundaries decompose into node-to-node CHAINS;
+# every chain is smoothed once in canonical orientation and validated
+# SEQUENTIALLY against the live segment set — the engine's analogue of the
+# reference's per-edge ST_ChangeEdgeGeom attempts, which validate each new
+# edge geometry against the current topology and keep the old geometry on
+# failure.  A smoothed chain is accepted only if it stays strictly inside
+# the tile rectangle and touches the rest of the arrangement at nothing but
+# its own two endpoint nodes; otherwise the exact original chain stays.
+# Both adjacent faces then rebuild from the same accepted-chain map, so the
+# cleaned faces remain watertight.  Chains containing tile-border segments
+# are never smoothed (cross-tile stitch cancellation needs exact borders).
+# Like the reference's per-cell pass, cleaning is tiling-AFFECTING: the
+# tiling-independence invariant is guaranteed only with cleaning off.
+# ---------------------------------------------------------------------------
+
+
+class _SegIndex:
+    """Tiny dynamic grid index over integer segments for contact queries."""
+
+    def __init__(self, cell: int):
+        self.cell = max(1, cell)
+        self.grid: dict[tuple[int, int], set[int]] = {}
+        self.segs: dict[int, tuple[int, int, int, int]] = {}
+        self._next = 0
+
+    def _cells(self, s):
+        x0 = min(s[0], s[2]) // self.cell
+        x1 = max(s[0], s[2]) // self.cell
+        y0 = min(s[1], s[3]) // self.cell
+        y1 = max(s[1], s[3]) // self.cell
+        for cx in range(x0, x1 + 1):
+            for cy in range(y0, y1 + 1):
+                yield (cx, cy)
+
+    def add(self, s) -> int:
+        sid = self._next
+        self._next += 1
+        s = (int(s[0]), int(s[1]), int(s[2]), int(s[3]))
+        self.segs[sid] = s
+        for c in self._cells(s):
+            self.grid.setdefault(c, set()).add(sid)
+        return sid
+
+    def remove(self, sid: int) -> None:
+        s = self.segs.pop(sid)
+        for c in self._cells(s):
+            self.grid[c].discard(sid)
+
+    def near(self, s):
+        out = set()
+        for c in self._cells(s):
+            out |= self.grid.get(c, set())
+        return [self.segs[i] for i in out]
+
+
+def _seg_contact_ok(a, b, allowed: set) -> bool:
+    """True iff segments a,b touch at most at points in ``allowed``."""
+    p1 = (a[0], a[1]); p2 = (a[2], a[3]); q1 = (b[0], b[1]); q2 = (b[2], b[3])
+    d1 = (p2[0]-p1[0])*(q1[1]-p1[1]) - (p2[1]-p1[1])*(q1[0]-p1[0])
+    d2 = (p2[0]-p1[0])*(q2[1]-p1[1]) - (p2[1]-p1[1])*(q2[0]-p1[0])
+    d3 = (q2[0]-q1[0])*(p1[1]-q1[1]) - (q2[1]-q1[1])*(p1[0]-q1[0])
+    d4 = (q2[0]-q1[0])*(p2[1]-q1[1]) - (q2[1]-q1[1])*(p2[0]-q1[0])
+    if ((d1 > 0) != (d2 > 0)) and d1 != 0 and d2 != 0 and \
+       ((d3 > 0) != (d4 > 0)) and d3 != 0 and d4 != 0:
+        return False  # proper crossing
+    if d1 == 0 and d2 == 0:  # collinear: reject interior interval overlap
+        ax = abs(p2[0] - p1[0]) >= abs(p2[1] - p1[1])
+        k = 0 if ax else 1
+        lo = max(min(p1[k], p2[k]), min(q1[k], q2[k]))
+        hi = min(max(p1[k], p2[k]), max(q1[k], q2[k]))
+        if lo < hi:
+            return False
+    for (o, p, q) in ((p1, p2, q1), (p1, p2, q2), (q1, q2, p1), (q1, q2, p2)):
+        col = (p[0]-o[0])*(q[1]-o[1]) - (p[1]-o[1])*(q[0]-o[0]) == 0
+        if (col and min(o[0], p[0]) <= q[0] <= max(o[0], p[0])
+                and min(o[1], p[1]) <= q[1] <= max(o[1], p[1])
+                and q not in allowed):
+            return False
+    return True
+
+
+def smooth_tile_faces(
+    faces: list[TileFace],
+    arr,
+    tile_bounds: tuple[int, int, int, int],
+    simplify_tol_px: float = 0.0,
+    chaikins_iters: int = 0,
+    chaikins_min_deg: float = 30.0,
+    chaikins_max_deg: float = 330.0,
+    chaikins_max_len_px: float = 0.0,
+) -> None:
+    """Smooth face-boundary chains in place (see section comment)."""
+    from . import simplify as simp
+
+    if simplify_tol_px <= 0 and chaikins_iters <= 0:
+        return
+    x0, y0, x1, y1 = tile_bounds
+    deg: dict[tuple[int, int], int] = {}
+    for s in arr.segs:
+        for pt in ((int(s[0]), int(s[1])), (int(s[2]), int(s[3]))):
+            deg[pt] = deg.get(pt, 0) + 1
+
+    def smooth_open(chain: np.ndarray) -> np.ndarray:
+        out = chain.astype(np.float64)
+        if simplify_tol_px > 0 and len(out) > 2:
+            for r in range(1, 6):  # reference back-off ladder (cell.sql:695-703)
+                cand = simp.douglas_peucker(out, simplify_tol_px / r)
+                if len(cand) >= 2:
+                    out = cand
+                    break
+        if chaikins_iters > 0:
+            out = simp.chaikins_acute_angle(
+                out,
+                n_iterations=chaikins_iters,
+                min_degrees=chaikins_min_deg,
+                max_degrees=chaikins_max_deg,
+                max_length=chaikins_max_len_px or np.inf,
+            )
+        snapped = np.round(out).astype(np.int64)
+        keep = np.r_[True, np.any(snapped[1:] != snapped[:-1], axis=1)]
+        return snapped[keep]
+
+    # --- pass 1: decompose rings into chains; register unique ones --------
+    chain_ids: dict[tuple, int] = {}
+    originals: list[np.ndarray] = []
+
+    def register(chain: np.ndarray) -> tuple[int, bool]:
+        a = (int(chain[0, 0]), int(chain[0, 1]))
+        b = (int(chain[-1, 0]), int(chain[-1, 1]))
+        if a < b:
+            fwd = True
+        elif a > b:
+            fwd = False
+        else:
+            # closed loop (island ring / self-loop): adjacent faces traverse
+            # it oppositely — canonicalize by the interior vertex sequence
+            fseq = tuple(map(tuple, chain[1:-1].tolist()))
+            fwd = fseq <= fseq[::-1]
+        pts = chain if fwd else chain[::-1]
+        key = tuple(map(tuple, pts.tolist()))
+        cid = chain_ids.get(key)
+        if cid is None:
+            cid = len(originals)
+            chain_ids[key] = cid
+            originals.append(pts)
+        return cid, fwd
+
+    per_face: list[list[list]] = []  # face -> ring -> [(cid|None, fwd, full_chain, mask)]
+    fixed_obstacles: list[np.ndarray] = []
+    for f in faces:
+        rings_plan = []
+        for k, ring in enumerate(f.rings):
+            m = f.masks[k] if f.masks else np.zeros(len(ring), dtype=np.uint8)
+            n = len(ring)
+            node_pos = [
+                i for i in range(n)
+                if deg.get((int(ring[i, 0]), int(ring[i, 1])), 0) != 2
+            ]
+            plan = []
+            if not node_pos:
+                if m.any() or n < 4:
+                    plan.append((None, True, np.vstack([ring, ring[:1]]), m))
+                else:
+                    start = min(range(n), key=lambda i: (int(ring[i, 0]), int(ring[i, 1])))
+                    rr = np.roll(ring, -start, axis=0)
+                    cid, fwd = register(np.vstack([rr, rr[:1]]))
+                    plan.append((cid, fwd, np.vstack([rr, rr[:1]]), np.zeros(n, dtype=np.uint8)))
+                rings_plan.append(plan)
+                continue
+            start = node_pos[0]
+            rr = np.roll(ring, -start, axis=0)
+            mm = np.roll(m, -start)
+            npos = sorted((p - start) % n for p in node_pos)
+            bounds_ = npos + [n]
+            for bi in range(len(npos)):
+                i0, i1 = bounds_[bi], bounds_[bi + 1]
+                if i1 < n:
+                    chain = rr[i0 : i1 + 1]
+                    cmask = mm[i0:i1]
+                else:
+                    chain = np.vstack([rr[i0:], rr[:1]])
+                    cmask = mm[i0:]
+                if cmask.any() or len(chain) < 3:
+                    plan.append((None, True, chain, cmask))
+                else:
+                    cid, fwd = register(chain)
+                    plan.append((cid, fwd, chain, cmask))
+            rings_plan.append(plan)
+        per_face.append(rings_plan)
+
+    # --- pass 2: sequential smooth-and-validate against the live set ------
+    # index starts with every chain's ORIGINAL segments exactly once, plus
+    # every non-chain (border/mask/short) piece as immutable obstacles
+    ext = np.maximum(np.abs(arr.segs[:, 2] - arr.segs[:, 0]),
+                     np.abs(arr.segs[:, 3] - arr.segs[:, 1])) if len(arr.segs) else np.array([1])
+    index = _SegIndex(int(np.percentile(ext, 75)) or 1)
+    chain_seg_ids: dict[int, list[int]] = {}
+
+    def add_chain(pts: np.ndarray) -> list[int]:
+        return [index.add((pts[i, 0], pts[i, 1], pts[i + 1, 0], pts[i + 1, 1]))
+                for i in range(len(pts) - 1)]
+
+    for cid, pts in enumerate(originals):
+        chain_seg_ids[cid] = add_chain(pts)
+    seen_fixed: set[tuple] = set()
+    for rings_plan in per_face:
+        for plan in rings_plan:
+            for cid, fwd, full, cmask in plan:
+                if cid is None and len(full) >= 2:
+                    key = tuple(map(tuple, full.tolist()))
+                    rkey = tuple(map(tuple, full[::-1].tolist()))
+                    if key in seen_fixed or rkey in seen_fixed:
+                        continue
+                    seen_fixed.add(key)
+                    add_chain(full)
+
+    smoothed: list[np.ndarray] = list(originals)
+    for cid in range(len(originals)):
+        pts = originals[cid]
+        sm = smooth_open(pts)
+        if len(sm) < 2 or np.array_equal(sm, pts):
+            continue
+        interior = sm[1:-1]
+        if len(interior) and not bool(
+            np.all((interior[:, 0] > x0) & (interior[:, 0] < x1)
+                   & (interior[:, 1] > y0) & (interior[:, 1] < y1))
+        ):
+            continue  # left the tile: keep exact original
+        # temporarily remove own segments, then contact-test the candidate
+        for sid in chain_seg_ids[cid]:
+            index.remove(sid)
+        a = (int(sm[0, 0]), int(sm[0, 1]))
+        b = (int(sm[-1, 0]), int(sm[-1, 1]))
+        allowed = {a, b}
+        ok = True
+        cand_segs = [
+            (int(sm[i, 0]), int(sm[i, 1]), int(sm[i + 1, 0]), int(sm[i + 1, 1]))
+            for i in range(len(sm) - 1)
+        ]
+        # self-contacts: candidate segments against each other (non-adjacent)
+        for i in range(len(cand_segs)):
+            for j in range(i + 1, len(cand_segs)):
+                shared = {(cand_segs[i][0], cand_segs[i][1]), (cand_segs[i][2], cand_segs[i][3])} & \
+                         {(cand_segs[j][0], cand_segs[j][1]), (cand_segs[j][2], cand_segs[j][3])}
+                if not _seg_contact_ok(cand_segs[i], cand_segs[j], allowed | shared if j == i + 1 else allowed):
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            for cs in cand_segs:
+                for other in index.near(cs):
+                    if not _seg_contact_ok(cs, other, allowed):
+                        ok = False
+                        break
+                if not ok:
+                    break
+        if ok:
+            smoothed[cid] = sm
+            chain_seg_ids[cid] = add_chain(sm)
+        else:
+            chain_seg_ids[cid] = add_chain(pts)
+
+    # --- pass 3: rebuild rings from the accepted chain map ----------------
+    for fi, f in enumerate(faces):
+        new_rings, new_masks = [], []
+        for plan in per_face[fi]:
+            pieces, pmasks = [], []
+            for cid, fwd, full, cmask in plan:
+                if cid is None:
+                    pieces.append(full[:-1])
+                    pmasks.append(cmask)
+                else:
+                    sm = smoothed[cid] if fwd else smoothed[cid][::-1]
+                    pieces.append(sm[:-1])
+                    pmasks.append(np.zeros(len(sm) - 1, dtype=np.uint8))
+            cand = np.concatenate(pieces)
+            new_rings.append(cand)
+            new_masks.append(np.concatenate(pmasks).astype(np.uint8))
+        f.rings = new_rings
+        f.masks = new_masks
+        a2 = abs(ring_signed_area2(f.rings[0]))
+        for h in f.rings[1:]:
+            a2 -= abs(ring_signed_area2(h))
+        f.area2 = int(a2)

@@ -83,7 +83,9 @@ def resolve_overlap_gap(
     # finishes - actor pools were observed pinning CPUs after execution,
     # starving later pipelines in the same session
     faces = routed.groupby("tile").map_groups(
-        stages.TileOverlay(grid, t.utm, cfg.clean.min_area_to_keep, coarse_level),
+        stages.TileOverlay(
+            grid, t.utm, cfg.clean.min_area_to_keep, coarse_level, clean=cfg.clean
+        ),
         batch_format="pyarrow",
     )
     # multi-level border stitch: coarse-cell buckets, then (when the grid is
@@ -267,12 +269,12 @@ class _TileOverlayWriter:
     whose manifest exists — the reference's `_job_list_donejobs` semantics
     (cell.sql:125-132) with per-partition lineage+metrics."""
 
-    def __init__(self, grid, utm, min_area, coarse_level, out_dir, cfg_fp):
+    def __init__(self, grid, utm, min_area, coarse_level, out_dir, cfg_fp, clean=None):
         from .. import stages
 
         self.__name__ = "TileOverlayWriter"  # map_groups task-fn contract
 
-        self._inner = stages.TileOverlay(grid, utm, min_area, coarse_level)
+        self._inner = stages.TileOverlay(grid, utm, min_area, coarse_level, clean=clean)
         self.out_dir = out_dir
         self.cfg_fp = cfg_fp
 
@@ -331,7 +333,8 @@ def resolve_overlap_gap_resumable(
     coarse_level = _coarse_level(plan, t.base_level)
     pending = routed.groupby("tile").map_groups(
         _TileOverlayWriter(
-            grid, t.utm, cfg.clean.min_area_to_keep, coarse_level, out_dir, fp
+            grid, t.utm, cfg.clean.min_area_to_keep, coarse_level, out_dir, fp,
+            clean=cfg.clean,
         ),
         batch_format="pyarrow",
     )

@@ -399,12 +399,27 @@ class TileOverlay:
     (cell.sql:189-423,758-913).
     """
 
-    def __init__(self, grid: GridConfig, utm: bool, min_area: float, coarse_level: int = 0):
+    def __init__(self, grid: GridConfig, utm: bool, min_area: float, coarse_level: int = 0,
+                 clean=None):
         self.__name__ = "TileOverlay"  # map_groups task-fn contract
         self.grid = grid
         self.utm = utm
         self.min_area = min_area
         self.coarse_level = coarse_level
+        # JT5 smoothing params in px units (cell.sql:642-756): applied to
+        # face-edge chains inside the tile; None/empty = cleaning off
+        self.smooth = None
+        if clean is not None and (
+            clean.simplify_tolerance > 0 or clean.chaikins_n_iterations > 0
+        ):
+            self.smooth = {
+                "simplify_tol_px": clean.simplify_tolerance / grid.precision,
+                "chaikins_iters": clean.chaikins_n_iterations,
+                "chaikins_min_deg": clean.chaikins_min_degrees,
+                "chaikins_max_deg": clean.chaikins_max_degrees,
+                "chaikins_max_len_px": (clean.chaikins_max_length / grid.precision
+                                        if clean.chaikins_max_length else 0.0),
+            }
 
     def __call__(self, group: pa.Table) -> pa.Table:
         g = self.grid
@@ -445,7 +460,9 @@ class TileOverlay:
         else:
             min_area2, area2_fn = 0.0, None
         t0 = time.monotonic()
-        faces = arrangement.overlay_tile(polys, bounds, min_area2, area2_fn, lines=lines)
+        faces = arrangement.overlay_tile(
+            polys, bounds, min_area2, area2_fn, lines=lines, smooth=self.smooth
+        )
         out = faces_to_table(faces, tile, valid_of, self.coarse_level)
         _stage_log("overlay", tile, len(group), len(out), time.monotonic() - t0)
         return out

@@ -215,3 +215,69 @@ class TestTilingIndependenceAtScale:
         j = gm.to_frame("m").join(gs.to_frame("s"), how="outer").fillna(0.0)
         rel = (j["m"] - j["s"]).abs().sum() / single["area"].sum()
         assert rel < 1e-7, rel
+
+
+class TestJT5Smoothing:
+    def _utm_ds(self):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        import rogray.sources as sources
+        from rogray import spans as spans_mod
+        from rogray.geom import wkb
+
+        t = pq.read_table(sources.docs_path_for("x", 64))
+        span_lists = []
+        for doc in t["spans"].to_pylist():
+            new_doc = []
+            for s in doc:
+                if s["kind"] == "geometry":
+                    rings = wkb.decode_polygon_rings(bytes.fromhex(s["text"]))
+                    rings_m = [(r - np.array([5.0, 58.0])) * 100_000.0 for r in rings]
+                    s = {**s, "text": wkb.encode_polygon(rings_m).hex()}
+                new_doc.append(s)
+            span_lists.append(new_doc)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "spans": pa.array(
+                        [[dict(x) for x in d] for d in span_lists], spans_mod.SPANS_TYPE
+                    ),
+                }
+            )
+        )
+
+    def test_simplify_chaikins_golden(self, ray_session):
+        """The reference t3 analogue (resolve_overlap_and_gap.sql:61-94:
+        utm, tol 1.0 m, simplify 30, chaikins 1 -> pinned structure
+        counts, resolve_overlap_and_gap_expected:11-15).  Our engine's
+        pinned numbers on the 64-doc metric fixture: same face structure
+        as the uncleaned run, fewer boundary vertices, area within 0.1%,
+        and the cleaned faces still partition the plane (overlap == 0)."""
+        from rogray.config import CleanConfig, ResolveConfig, TopologyConfig
+        from rogray.geom import wkb
+        from rogray.pipelines import compare, resolve
+
+        ds = self._utm_ds()
+        topo = TopologyConfig(snap_tolerance=1.0, utm=True, max_rows_in_each_cell=16, base_level=1)
+        cfg = ResolveConfig(
+            topology=topo,
+            clean=CleanConfig(simplify_tolerance=30.0, chaikins_n_iterations=1),
+        )
+        res = resolve.resolve_overlap_gap(ds, cfg)
+        df = res.to_pandas()
+        nvtx = sum(len(wkb.decode_polygon_rings(w)[0]) for w in df["wkb"])
+        assert len(df) == 133
+        assert int(df["winner_pk"].notna().sum()) == 126
+        assert nvtx == 919  # golden: smoothing removed 30 of 949 vertices
+        # (4 chains reverted by the global cross-chain validation)
+        plain = resolve.resolve_overlap_gap(ds, ResolveConfig(topology=topo)).to_pandas()
+        assert abs(df["area"].sum() - plain["area"].sum()) / plain["area"].sum() < 1e-3
+        # watertight: smoothed faces still overlap-free (shared chains were
+        # smoothed identically on both sides)
+        qa = compare.compare_result(ds, res, cfg)
+        after = qa[qa["phase"] == "after"].iloc[0]
+        assert after["n_overlap_pairs"] == 0
+        assert after["overlap_area"] == 0.0
