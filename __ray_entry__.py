@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "rogray.pipelines.detect", fromlist=["extract_edges"]
         ).extract_edges(_geo_docs(sf), _geo_cfg()),
         "content_balanced_tiling": _q_tiling,
+        "face_attributes": lambda sf: __import__(
+            "rogray.pipelines.resolve", fromlist=["face_relation_rows"]
+        ).face_relation_rows(_geo_docs(sf), _geo_cfg()),
         "point_in_polygon_join": _q_pip_join,
         "knn_cell_expansion": _q_knn,
         "compare_result": _q_compare,

@@ -42,12 +42,30 @@ class TileFace:
     masks: list[np.ndarray] | None = None  # per ring: 1 where the edge is pure tile border
 
 
-def _ring_masks(face, labels) -> list[np.ndarray]:
+def _ring_masks(face, labels, bounds=None) -> list[np.ndarray]:
+    """Per ring-edge tile-border flags.
+
+    An edge is "border" when it carries only TILE_ID labels, OR (with
+    ``bounds`` given) when it lies geometrically ON the tile rectangle —
+    the latter covers clipped giant-polygon runs along the rect, whose
+    segments also carry the polygon label but must cancel against the
+    neighbouring tile's identical run in the stitch."""
     tile_only = lambda i: 1 if all(p == TILE_ID for p, _ in labels[i]) else 0
     out = []
+    rings = [face.shell] + list(face.holes)
     segidx = [face.shell_seg] + list(face.holes_seg)
-    for arr in segidx:
-        out.append(np.asarray([tile_only(int(i)) for i in arr], dtype=np.uint8))
+    for ring, arr in zip(rings, segidx):
+        m = np.asarray([tile_only(int(i)) for i in arr], dtype=np.uint8)
+        if bounds is not None and len(ring):
+            x0, y0, x1, y1 = bounds
+            a = ring
+            b = np.roll(ring, -1, axis=0)
+            on = (
+                ((a[:, 0] == b[:, 0]) & ((a[:, 0] == x0) | (a[:, 0] == x1)))
+                | ((a[:, 1] == b[:, 1]) & ((a[:, 1] == y0) | (a[:, 1] == y1)))
+            )
+            m = (m | on[: len(m)].astype(np.uint8)).astype(np.uint8)
+        out.append(m)
     return out
 
 
@@ -155,7 +173,7 @@ def overlay_tile(
 
     kept = [f for f in arr.faces if TILE_ID in f.cov]
     if min_area2_px and kept:
-        out = _merge_small_faces(arr, kept, min_area2_px, area2_fn)
+        out = _merge_small_faces(arr, kept, min_area2_px, area2_fn, tile_bounds)
     else:
         out = [
             TileFace(
@@ -165,7 +183,7 @@ def overlay_tile(
                 TILE_ID in f.touches,
                 f.cov - {TILE_ID},
                 f.touches - {TILE_ID},
-                _ring_masks(f, arr.labels),
+                _ring_masks(f, arr.labels, tile_bounds),
             )
             for f in kept
         ]
@@ -189,6 +207,7 @@ def _merge_small_faces(
     kept: list[polygonize.Face],
     min_area2: float,
     area2_fn,
+    tile_bounds=None,
 ) -> list[TileFace]:
     """Dissolve small interior faces into their longest-boundary neighbour,
     iterating to fixpoint (reference loop:
@@ -309,7 +328,7 @@ def _merge_small_faces(
                 TILE_ID in nf.touches,
                 cov,
                 nf.touches - {TILE_ID},
-                _ring_masks(nf, arr2.labels),
+                _ring_masks(nf, arr2.labels, tile_bounds),
             )
         )
     return out

@@ -55,22 +55,12 @@ def prepare(ds, cfg: ResolveConfig) -> ResolvePlan:
     return ResolvePlan(grid, cut, len(cut.leaves))
 
 
-def resolve_overlap_gap(
-    ds,
-    cfg: ResolveConfig | None = None,
-    plan: ResolvePlan | None = None,
-    overlay_concurrency=None,
-):
-    """documents Dataset -> resolved faces Dataset (the `_result` table).
-
-    Output columns: doc_id (winner's; NULL for gap faces), winner_pk,
-    other_intersect_id_list, input_geo_is_valid, wkb, area, tile, spans.
-    """
-    cfg = cfg or ResolveConfig()
-    plan = plan or prepare(ds, cfg)
+def stitched_faces(ds, cfg: ResolveConfig, plan: ResolvePlan):
+    """The resolved face set BEFORE attribute finalization: one row per
+    output face with exact px rings, coverage set, winner/others, area2.
+    Shared by resolve_overlap_gap and the AR5 attribute-table mode."""
     t = cfg.topology
     grid = plan.grid
-
     # stateless task stages (no reserved actors -> shuffles never starve)
     unwrapped = ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
     routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
@@ -101,10 +91,76 @@ def resolve_overlap_gap(
         st = st.groupby("stitch_key").map_groups(
             stages.stitch_mid, batch_format="pyarrow"
         )
-    stitched = st.groupby("stitch_key").map_groups(
+    return st.groupby("stitch_key").map_groups(
         stages.stitch_global, batch_format="pyarrow"
     )
-    return _finalize_join(stitched, ds, grid, t.utm)
+
+
+def resolve_overlap_gap(
+    ds,
+    cfg: ResolveConfig | None = None,
+    plan: ResolvePlan | None = None,
+    overlay_concurrency=None,
+):
+    """documents Dataset -> resolved faces Dataset (the `_result` table).
+
+    Output columns: doc_id (winner's; NULL for gap faces), winner_pk,
+    other_intersect_id_list, input_geo_is_valid, wkb, area, tile, spans.
+    """
+    cfg = cfg or ResolveConfig()
+    plan = plan or prepare(ds, cfg)
+    stitched = stitched_faces(ds, cfg, plan)
+    return _finalize_join(stitched, ds, plan.grid, cfg.topology.utm)
+
+
+def face_relation_rows(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | None = None):
+    """AR5 attribute-table mode (reference create_topology_attrbute_tables,
+    cell.sql:390-416,877-899; golden: resolve_overlap_and_gap_expected:36-103
+    — per-face relation rows + per-face areas): one row per
+    (face, covering source), face identity = deterministic hash of the
+    exact px rings.  Faces covered by k sources emit k rows; gap faces
+    emit one row with src_pk NULL.  Edge rows live in
+    pipelines.detect.extract_edges (the edge_data analogue)."""
+    import hashlib
+
+    cfg = cfg or ResolveConfig()
+    plan = plan or prepare(ds, cfg)
+    grid = plan.grid
+    utm = cfg.topology.utm
+    stitched = stitched_faces(ds, cfg, plan)
+
+    def rows(t: pa.Table) -> pa.Table:
+        from ..geom import core
+
+        out = {"face_id": [], "src_pk": [], "n_srcs": [], "face_area": [], "is_valid": []}
+        rings_col = t["rings"].to_pylist()
+        covs = t["cov"].to_pylist()
+        valid = t["is_valid"].to_pylist()
+        for i in range(len(t)):
+            rings, _ = stages.unpack_rings(rings_col[i])
+            fid = hashlib.md5(rings_col[i]).hexdigest()[:16]
+            if utm:
+                area = core.planar_area(rings, grid.precision)
+            else:
+                area = core.geodesic_area(rings, grid.origin_x, grid.origin_y, grid.precision)
+            cov = covs[i] or []
+            for src in (cov if cov else [None]):
+                out["face_id"].append(fid)
+                out["src_pk"].append(src)
+                out["n_srcs"].append(len(cov))
+                out["face_area"].append(area)
+                out["is_valid"].append(bool(valid[i]))
+        return pa.table(
+            {
+                "face_id": pa.array(out["face_id"], pa.string()),
+                "src_pk": pa.array(out["src_pk"], pa.int64()),
+                "n_srcs": pa.array(out["n_srcs"], pa.int64()),
+                "face_area": pa.array(out["face_area"], pa.float64()),
+                "is_valid": pa.array(out["is_valid"], pa.bool_()),
+            }
+        )
+
+    return stitched.map_batches(rows, batch_format="pyarrow")
 
 
 def _mid_level(coarse_level: int) -> int | None:

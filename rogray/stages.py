@@ -355,16 +355,36 @@ class Route:
     Reference: rows assigned to every grid cell their bbox overlaps
     (geo && cell, find_overlap_and_gap-pre.sql:197-206).  The CutIndex is
     shipped once per actor via the constructor.
+
+    Giant polygons (>= ``giant_points`` ring points spanning >=
+    ``giant_tiles`` tiles) are CLIPPED to each destination tile's
+    rectangle instead of replicated whole — the per-tile fragment ships,
+    bytes scale with the perimeter crossing each tile rather than
+    tiles x ring size.  Clip crossings use the same exact rounding as the
+    noding, and the clipped runs along the rect cancel in the stitch via
+    the geometric border masks.  (Reference analogue: >10 000-point lines
+    diverted to a serial pass, view_get_simplified_border_lines...:35.)
     """
+
+    GIANT_POINTS = 1024
+    GIANT_TILES = 4
 
     def __init__(self, cut: balance.CutIndex):
         self.cut = cut
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from .geom import clip as clip_mod
+        from .tiling import quadkey as qk
+
         mnx = t["minx"].to_numpy()
         mny = t["miny"].to_numpy()
         mxx = t["maxx"].to_numpy()
         mxy = t["maxy"].to_numpy()
+        is_line = (
+            t["is_line"].to_numpy(zero_copy_only=False)
+            if "is_line" in t.column_names
+            else np.zeros(len(t), dtype=bool)
+        )
         # fast path (vectorized): bbox corners land in the same ACTUAL
         # partition tile -> exactly one destination; only border-crossing
         # rows (and rows in histogram-empty regions of split base cells,
@@ -375,14 +395,49 @@ class Route:
         single = (lo == hi) & self.cut.is_partition_tile(lo)
         idx_list = np.flatnonzero(single).tolist()
         tile_list = lo[single].astype(np.int64).tolist()
+        clip_src: list[int] = []
+        clip_tile: list[int] = []
+        clip_packed: list[bytes] = []
+        clip_bbox: list[tuple[int, int, int, int]] = []
         for i in np.flatnonzero(~single).tolist():
-            for tile in self.cut.tiles_of_bbox_px(mnx[i], mny[i], mxx[i], mxy[i]):
-                idx_list.append(i)
-                tile_list.append(int(tile))
-        taken = t.take(pa.array(idx_list, pa.int64()))
-        return taken.append_column(
+            tiles = self.cut.tiles_of_bbox_px(mnx[i], mny[i], mxx[i], mxy[i])
+            rings = None
+            if len(tiles) >= self.GIANT_TILES and not is_line[i]:
+                rings, _ = unpack_rings(t["rings"][i].as_py())
+                if sum(len(r) for r in rings) < self.GIANT_POINTS:
+                    rings = None
+            if rings is None:
+                for tile in tiles:
+                    idx_list.append(i)
+                    tile_list.append(int(tile))
+                continue
+            for tile in tiles:
+                x0, y0, x1, y1 = qk.cell_bounds_px(int(tile), self.cut.span_px)
+                frag = clip_mod.clip_rings_to_rect(rings, x0, y0, x1, y1)
+                if not frag:
+                    continue  # bbox overlapped but the polygon does not
+                bb = core.bbox_of_rings(frag)
+                clip_src.append(i)
+                clip_tile.append(int(tile))
+                clip_packed.append(pack_rings(frag))
+                clip_bbox.append(bb)
+        taken = t.take(pa.array(idx_list, pa.int64())).append_column(
             "tile", pa.array(tile_list, pa.int64())
         )
+        if not clip_src:
+            return taken
+        extra = t.take(pa.array(clip_src, pa.int64()))
+        names = extra.column_names
+        extra = extra.set_column(names.index("rings"), "rings",
+                                 pa.array(clip_packed, pa.large_binary()))
+        for col, vals in zip(
+            ("minx", "miny", "maxx", "maxy"),
+            zip(*clip_bbox),
+        ):
+            extra = extra.set_column(names.index(col), col,
+                                     pa.array(list(vals), pa.int64()))
+        extra = extra.append_column("tile", pa.array(clip_tile, pa.int64()))
+        return pa.concat_tables([taken, extra])
 
 
 # ---------------------------------------------------------------------------

@@ -281,3 +281,108 @@ class TestJT5Smoothing:
         after = qa[qa["phase"] == "after"].iloc[0]
         assert after["n_overlap_pairs"] == 0
         assert after["overlap_area"] == 0.0
+
+
+class TestFaceRelationRows:
+    def test_ar5_attribute_table_golden(self, ray_session, docs64=None):
+        """AR5 attribute-table mode analogue (reference expected:36-103 —
+        9 faces / 54 edges / 63 relation rows on its fixture): pinned
+        relation-row structure on ours.  Row count == sum of coverage-set
+        sizes (gap faces contribute one NULL row); per-face area constant
+        across its rows."""
+        import ray.data as rd
+
+        import rogray.sources as sources
+        from rogray.config import ResolveConfig, TopologyConfig
+        from rogray.pipelines import resolve
+
+        ds = rd.read_parquet(sources.docs_path_for("x", 64))
+        cfg = ResolveConfig(
+            topology=TopologyConfig(snap_tolerance=1e-5, max_rows_in_each_cell=16, base_level=1)
+        )
+        df = resolve.face_relation_rows(ds, cfg).to_pandas()
+        assert len(df) == 195
+        assert df["face_id"].nunique() == 133      # == resolved face count
+        assert int(df["src_pk"].isna().sum()) == 7  # == gap faces
+        # area consistent per face; each covered face repeats once per src
+        g = df.groupby("face_id")
+        assert (g["face_area"].nunique() == 1).all()
+        covered = df[df["src_pk"].notna()]
+        assert (covered.groupby("face_id")["src_pk"].count()
+                == covered.groupby("face_id")["n_srcs"].first()).all()
+
+
+class TestGiantPolygonClipping:
+    def _docs(self):
+        import pyarrow as pa
+
+        from rogray import spans as spans_mod
+        from rogray.geom import wkb
+
+        rng = np.random.default_rng(7)
+        span_lists, ids = [], []
+        # giant polygon: 3000-point circle covering most of the layer
+        ang = np.linspace(0, 2 * np.pi, 3000, endpoint=False)
+        big = np.stack([5.6 + 0.5 * np.cos(ang), 58.6 + 0.5 * np.sin(ang)], axis=1)
+        ids.append("0")
+        span_lists.append([("geometry", wkb.encode_polygon([big]).hex(), "", 0)])
+        # small polygons scattered inside and around it
+        for i in range(1, 40):
+            cx = 5.1 + rng.uniform(0, 1.0)
+            cy = 58.1 + rng.uniform(0, 1.0)
+            a = np.sort(rng.uniform(0, 2 * np.pi, 7))
+            r = 0.02 * rng.uniform(0.6, 1.2, 7)
+            ring = np.stack([cx + r * np.cos(a), cy + r * np.sin(a)], axis=1)
+            ids.append(str(i))
+            span_lists.append([("geometry", wkb.encode_polygon([ring]).hex(), "", 0)])
+        return pa.table(
+            {"doc_id": pa.array(ids), "spans": spans_mod.make_spans_column(span_lists)}
+        )
+
+    def test_clip_shrinks_shuffle_and_preserves_output(self, ray_session):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from rogray import stages
+        from rogray.config import ResolveConfig, TopologyConfig
+        from rogray.pipelines import resolve
+        from tests.test_resolve_pipeline import canonical_face_key
+
+        docs = self._docs()
+        ds = rd.from_arrow(docs)
+        cfg = ResolveConfig(
+            topology=TopologyConfig(snap_tolerance=1e-4, max_rows_in_each_cell=4, base_level=3)
+        )
+        plan = resolve.prepare(ds, cfg)
+        uw = stages.Unwrap(plan.grid)(docs)
+
+        clipped_route = stages.Route(plan.cut)(uw)
+        old_pts = stages.Route.GIANT_POINTS
+        try:
+            stages.Route.GIANT_POINTS = 10**9  # disable clipping
+            whole_route = stages.Route(plan.cut)(uw)
+        finally:
+            stages.Route.GIANT_POINTS = old_pts
+
+        def ring_bytes(tb):
+            return sum(len(b) for b in tb["rings"].to_pylist())
+
+        # the giant ring would otherwise replicate to every tile it touches
+        assert ring_bytes(clipped_route) < 0.5 * ring_bytes(whole_route)
+
+        df_clip = resolve.resolve_overlap_gap(ds, cfg, plan=plan).to_pandas()
+        try:
+            stages.Route.GIANT_POINTS = 10**9
+            df_whole = resolve.resolve_overlap_gap(ds, cfg, plan=plan).to_pandas()
+        finally:
+            stages.Route.GIANT_POINTS = old_pts
+        assert len(df_clip) == len(df_whole)
+        k1 = sorted(
+            canonical_face_key(r["wkb"], r["winner_pk"], r["other_intersect_id_list"])
+            for _, r in df_clip.iterrows()
+        )
+        k2 = sorted(
+            canonical_face_key(r["wkb"], r["winner_pk"], r["other_intersect_id_list"])
+            for _, r in df_whole.iterrows()
+        )
+        assert k1 == k2
