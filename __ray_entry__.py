@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": lambda sf: relational.docs_by_lang(sf),
         "part_brand_stats": lambda sf: relational.part_brand_stats(sf),
         "orders_monthly": lambda sf: relational.orders_monthly(sf),
+        "events_sessionize": lambda sf: relational.events_sessionize(sf),
+        "top_parts_per_brand": lambda sf: relational.top_parts_per_brand(sf),
         # --- text analysis (DuckDB oracles where exact) ---
         "text_token_stats": lambda sf: textstats.token_stats(_docs(sf)),
         "text_fingerprint": lambda sf: textstats.fingerprint(_docs(sf)),
@@ -260,6 +262,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_by_lang": relational.docs_by_lang_sql(),
         "part_brand_stats": relational.part_brand_stats_sql(),
         "orders_monthly": relational.orders_monthly_sql(),
+        "events_sessionize": relational.events_sessionize_sql(),
+        "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "text_token_stats": textstats.token_stats_sql(),
         "text_fingerprint": textstats.fingerprint_sql(),
         "text_quality": textstats.quality_score_sql(),

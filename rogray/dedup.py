@@ -100,60 +100,99 @@ def minhash_signatures(ds, col: str = "text"):
 
 
 def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
-    """Near-duplicate candidate pairs via LSH banding, verified by the
-    estimated Jaccard (fraction of matching minhashes).
+    """Near-duplicate pairs via LSH banding, verified by the estimated
+    Jaccard (fraction of matching minhashes).
+
+    Shuffle hygiene: band rows carry ONLY (band, bhash, doc_id) — the
+    64-value signature is NOT duplicated x16 through the banding shuffle.
+    Candidate pairs (deduped across bands) fetch both signatures via the
+    reduce-side blob attach, and the verify compares them there.
 
     Returns (id_a, id_b, jaccard_x100) with id_a < id_b, deduplicated.
     """
+    id_type = ds.schema().base_schema.field("doc_id").type
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        texts = t[col].to_pylist()
+        blobs = [
+            _minhash(_shingles(s)).astype(np.int64).tobytes() for s in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "sig": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    sigs_ds = ds.map_batches(sig_rows, batch_format="pyarrow")
 
     def band_rows(t: pa.Table) -> pa.Table:
-        texts = t[col].to_pylist()
         ids = t["doc_id"].to_pylist()
-        b_band, b_hash, b_id, b_sig = [], [], [], []
-        for did, s in zip(ids, texts):
-            sig = _minhash(_shingles(s))
+        b_band, b_hash, b_id = [], [], []
+        for did, blob in zip(ids, t["sig"].to_pylist()):
+            sig = np.frombuffer(blob, dtype=np.int64)
             for b in range(_BANDS):
                 chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
                 b_band.append(b)
-                b_hash.append(int(zlib.crc32(chunk.tobytes())))
+                b_hash.append(int(zlib.crc32(chunk.astype(np.uint64).tobytes())))
                 b_id.append(did)
-                b_sig.append(sig.astype(np.int64).tolist())
         return pa.table(
             {
                 "band": pa.array(b_band, pa.int32()),
                 "bhash": pa.array(b_hash, pa.int64()),
-                "doc_id": pa.array(b_id),
-                "sig": pa.array(b_sig, pa.list_(pa.int64())),
+                "doc_id": pa.array(b_id, id_type),
             }
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_x100": []})
         g = g.sort_values("doc_id").drop_duplicates(subset=["doc_id"])
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
         ids = g["doc_id"].tolist()
-        sigs = np.asarray(g["sig"].tolist(), dtype=np.int64)
-        out_a, out_b, out_j = [], [], []
+        out_a, out_b = [], []
         for i in range(len(ids)):
-            same = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for k, j in enumerate(same):
-                if j >= jaccard_threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + k])
-                    out_j.append(int(round(100 * j)))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard_x100": out_j})
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     cand = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
+        sigs_ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "bhash"])
         .map_groups(pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    withAB = _attach_pair_blobs(cand, sigs_ds, id_type, blob_col="sig")
+
+    out_schema = pa.schema(
+        [("id_a", id_type), ("id_b", id_type), ("jaccard_x100", pa.int64())]
     )
 
-    # same pair can surface from several bands: dedup
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "blob_a" not in t.column_names:
+            return out_schema.empty_table()
+        keep, out_j = [], []
+        for i, (ba, bb) in enumerate(zip(t["blob_a"].to_pylist(), t["blob_b"].to_pylist())):
+            if ba is None or bb is None:
+                continue
+            A = np.frombuffer(ba, dtype=np.int64)
+            B = np.frombuffer(bb, dtype=np.int64)
+            j = float((A == B).mean())
+            if j >= jaccard_threshold:
+                keep.append(i)
+                out_j.append(int(round(100 * j)))
+        sub = t.take(pa.array(keep, pa.int64()))
+        return pa.table(
+            {
+                "id_a": sub["id_a"].combine_chunks(),
+                "id_b": sub["id_b"].combine_chunks(),
+                "jaccard_x100": pa.array(out_j, pa.int64()),
+            },
+            schema=out_schema,
+        )
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(dedup, batch_format="pandas")
+    return withAB.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash64(text: str) -> int:
@@ -366,6 +405,88 @@ def _gram_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.array(sorted(hs), dtype=np.int64)
 
 
+def _attach_pair_blobs(cand, blob_ds, id_type, blob_col: str = "grams"):
+    """Attach ``blob_ds``'s per-doc blob to candidate pairs on BOTH ids via
+    two reduce-side sort-shuffle joins (no broadcast, no Dataset.join, and
+    immune to empty-schema blocks).  cand: (id_a, id_b); blob_ds:
+    (doc_id, <blob_col>).  Returns (id_a, id_b, blob_a, blob_b)."""
+
+    def make_attach(key_col: str, blob_cols: list[str], blob_name: str):
+        out_schema = pa.schema(
+            [("k", pa.string()), ("is_doc", pa.bool_()), ("doc_blob", pa.large_binary()),
+             ("id_a", id_type), ("id_b", id_type)]
+            + [(c, pa.large_binary()) for c in blob_cols]
+        )
+
+        def tag_pairs(t: pa.Table) -> pa.Table:
+            n_ = len(t)
+            d = {
+                "k": t[key_col].cast(pa.string()).combine_chunks(),
+                "is_doc": pa.array([False] * n_, pa.bool_()),
+                "doc_blob": pa.array([None] * n_, pa.large_binary()),
+                "id_a": t["id_a"].cast(id_type).combine_chunks(),
+                "id_b": t["id_b"].cast(id_type).combine_chunks(),
+            }
+            for c in blob_cols:
+                d[c] = (
+                    t[c].cast(pa.large_binary()).combine_chunks()
+                    if c in t.column_names
+                    else pa.array([None] * n_, pa.large_binary())
+                )
+            return pa.table(d, schema=out_schema)
+
+        def tag_docs(t: pa.Table) -> pa.Table:
+            n_ = len(t)
+            d = {
+                "k": t["doc_id"].cast(pa.string()).combine_chunks(),
+                "is_doc": pa.array([True] * n_, pa.bool_()),
+                "doc_blob": t[blob_col].cast(pa.large_binary()).combine_chunks(),
+                "id_a": pa.array([None] * n_, id_type),
+                "id_b": pa.array([None] * n_, id_type),
+            }
+            for c in blob_cols:
+                d[c] = pa.array([None] * n_, pa.large_binary())
+            return pa.table(d, schema=out_schema)
+
+        res_schema = pa.schema(
+            [("id_a", id_type), ("id_b", id_type)]
+            + [(c, pa.large_binary()) for c in blob_cols]
+            + [(blob_name, pa.large_binary())]
+        )
+
+        def combine(g: pa.Table) -> pa.Table:
+            is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
+            pair_idx = np.flatnonzero(~is_doc)
+            doc_idx = np.flatnonzero(is_doc)
+            if len(pair_idx) == 0 or len(doc_idx) == 0:
+                return res_schema.empty_table()
+            blob = g["doc_blob"][int(doc_idx[0])].as_py()
+            prs = g.take(pa.array(pair_idx, pa.int64()))
+            d = {"id_a": prs["id_a"].combine_chunks(), "id_b": prs["id_b"].combine_chunks()}
+            for c in blob_cols:
+                d[c] = prs[c].combine_chunks()
+            d[blob_name] = pa.array([blob] * len(prs), pa.large_binary())
+            return pa.table(d, schema=res_schema)
+
+        combine.__name__ = f"attach_{blob_name}"
+        return tag_pairs, tag_docs, combine
+
+    tag_p1, tag_d1, comb1 = make_attach("id_a", [], "blob_a")
+    withA = (
+        cand.map_batches(tag_p1, batch_format="pyarrow")
+        .union(blob_ds.map_batches(tag_d1, batch_format="pyarrow"))
+        .groupby("k")
+        .map_groups(comb1, batch_format="pyarrow")
+    )
+    tag_p2, tag_d2, comb2 = make_attach("id_b", ["blob_a"], "blob_b")
+    return (
+        withA.map_batches(tag_p2, batch_format="pyarrow")
+        .union(blob_ds.map_batches(tag_d2, batch_format="pyarrow"))
+        .groupby("k")
+        .map_groups(comb2, batch_format="pyarrow")
+    )
+
+
 def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.5):
     """EXACT word-n-gram Jaccard similarity self-join via prefix filtering
     (the AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
@@ -451,91 +572,9 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
         .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
 
-    # reduce-side joins: route pair rows + gram rows to the same key and
-    # attach the blob inside the group (robust at any scale, no broadcast,
-    # and immune to empty-schema blocks that trip Dataset.join)
+    withAB = _attach_pair_blobs(cand, grams_ds, grams_schema.field("doc_id").type)
+
     id_type = grams_schema.field("doc_id").type
-
-    def make_attach(key_col: str, blob_cols: list[str], blob_name: str):
-        """(tag_pairs, tag_docs, combine) for one attach pass.  Unioned
-        schema: k (string cast, grouping only), is_doc, doc_blob, id_a,
-        id_b (native doc_id type), <carried blob cols>."""
-        out_schema = pa.schema(
-            [("k", pa.string()), ("is_doc", pa.bool_()), ("doc_blob", pa.large_binary()),
-             ("id_a", id_type), ("id_b", id_type)]
-            + [(c, pa.large_binary()) for c in blob_cols]
-        )
-
-        def tag_pairs(t: pa.Table) -> pa.Table:
-            n_ = len(t)
-            d = {
-                "k": t[key_col].cast(pa.string()).combine_chunks(),
-                "is_doc": pa.array([False] * n_, pa.bool_()),
-                "doc_blob": pa.array([None] * n_, pa.large_binary()),
-                "id_a": t["id_a"].cast(id_type).combine_chunks(),
-                "id_b": t["id_b"].cast(id_type).combine_chunks(),
-            }
-            for c in blob_cols:
-                d[c] = (
-                    t[c].cast(pa.large_binary()).combine_chunks()
-                    if c in t.column_names
-                    else pa.array([None] * n_, pa.large_binary())
-                )
-            return pa.table(d, schema=out_schema)
-
-        def tag_docs(t: pa.Table) -> pa.Table:
-            n_ = len(t)
-            d = {
-                "k": t["doc_id"].cast(pa.string()).combine_chunks(),
-                "is_doc": pa.array([True] * n_, pa.bool_()),
-                "doc_blob": t["grams"].cast(pa.large_binary()).combine_chunks(),
-                "id_a": pa.array([None] * n_, id_type),
-                "id_b": pa.array([None] * n_, id_type),
-            }
-            for c in blob_cols:
-                d[c] = pa.array([None] * n_, pa.large_binary())
-            return pa.table(d, schema=out_schema)
-
-        res_schema = pa.schema(
-            [("id_a", id_type), ("id_b", id_type)]
-            + [(c, pa.large_binary()) for c in blob_cols]
-            + [(blob_name, pa.large_binary())]
-        )
-
-        def combine(g: pa.Table) -> pa.Table:
-            is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
-            pair_idx = np.flatnonzero(~is_doc)
-            doc_idx = np.flatnonzero(is_doc)
-            if len(pair_idx) == 0 or len(doc_idx) == 0:
-                return res_schema.empty_table()
-            blob = g["doc_blob"][int(doc_idx[0])].as_py()
-            prs = g.take(pa.array(pair_idx, pa.int64()))
-            d = {"id_a": prs["id_a"].combine_chunks(), "id_b": prs["id_b"].combine_chunks()}
-            for c in blob_cols:
-                d[c] = prs[c].combine_chunks()
-            d[blob_name] = pa.array([blob] * len(prs), pa.large_binary())
-            return pa.table(d, schema=res_schema)
-
-        combine.__name__ = f"attach_{blob_name}"
-        return tag_pairs, tag_docs, combine
-
-    # pass 1: attach grams of id_a
-    tag_p1, tag_d1, comb1 = make_attach("id_a", [], "blob_a")
-    withA = (
-        cand.map_batches(tag_p1, batch_format="pyarrow")
-        .union(grams_ds.map_batches(tag_d1, batch_format="pyarrow"))
-        .groupby("k")
-        .map_groups(comb1, batch_format="pyarrow")
-    )
-    # pass 2: attach grams of id_b (blob_a rides through)
-    tag_p2, tag_d2, comb2 = make_attach("id_b", ["blob_a"], "blob_b")
-    withAB = (
-        withA.map_batches(tag_p2, batch_format="pyarrow")
-        .union(grams_ds.map_batches(tag_d2, batch_format="pyarrow"))
-        .groupby("k")
-        .map_groups(comb2, batch_format="pyarrow")
-    )
-
     out_schema = pa.schema(
         [("id_a", id_type), ("id_b", id_type), ("jaccard_x1000", pa.int64())]
     )

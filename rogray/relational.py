@@ -301,3 +301,85 @@ def orders_monthly_sql() -> str:
                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
         FROM orders GROUP BY o_orderstatus, date_trunc('month', o_orderdate)
     """
+
+
+def events_sessionize(sf_dir: str, gap_seconds: int = 1800):
+    """Session windows per user (streaming-shaped stateful operator): a new
+    session starts when the gap from the previous event exceeds
+    ``gap_seconds``.  One shuffle by user_id; sessionization is a sorted
+    scan inside each group.  Output: (user_id, session_start_us, n_events,
+    sum_value_c) — exactly reproducible in SQL with lag + running sum."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        t_us = g["ts"].astype("datetime64[us]").astype("int64")
+        new_s = (t_us.diff() > gap_seconds * 1_000_000).fillna(False).astype(int)
+        sid = new_s.cumsum()
+        g = g.assign(t_us=t_us, sid=sid, value_c=_cents(g["value"]))
+        out = g.groupby("sid", as_index=False).agg(
+            user_id=("user_id", "first"),
+            session_start_us=("t_us", "min"),
+            n_events=("t_us", "size"),
+            sum_value_c=("value_c", "sum"),
+        )
+        return out[["user_id", "session_start_us", "n_events", "sum_value_c"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def events_sessionize_sql(gap_seconds: int = 1800) -> str:
+    return f"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS t_us,
+                 CAST(round(value * 100) AS BIGINT) AS value_c,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_seconds} * 1000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, t_us, value_c,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e
+        )
+        SELECT user_id, CAST(MIN(t_us) AS BIGINT) AS session_start_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+        FROM s GROUP BY user_id, sid
+    """
+
+
+def top_parts_per_brand(sf_dir: str, k: int = 3):
+    """Windowed rank operator: top-k parts by retail price per brand
+    (row_number analogue via per-group sort inside map_groups)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_partkey", "p_retailprice"]
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(price_c=_cents(g["p_retailprice"]))
+        g = g.sort_values(["price_c", "p_partkey"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1)
+        return g[["p_brand", "p_partkey", "price_c", "rnk"]]
+
+    return ds.groupby("p_brand").map_groups(topk, batch_format="pandas")
+
+
+def top_parts_per_brand_sql(k: int = 3) -> str:
+    return f"""
+        SELECT p_brand, p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY CAST(round(p_retailprice * 100) AS BIGINT) DESC, p_partkey
+                 ) AS rnk
+          FROM part
+        ) WHERE rnk <= {k}
+    """

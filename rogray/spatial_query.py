@@ -80,20 +80,28 @@ def point_in_polygon_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = 
         polys = []
         for i in np.flatnonzero(~is_pt):
             rings, _ = stages.unpack_rings(g["rings"][int(i)].as_py())
-            bbox = core.bbox_of_rings(rings)
-            polys.append((int(g["pk"][int(i)].as_py()), rings, bbox))
+            polys.append((int(g["pk"][int(i)].as_py()), rings))
         if polys:
+            # vectorized bbox prefilter: one (n_points x n_polys) mask per
+            # tile group instead of a Python loop over every (point, poly)
+            # pair — the exact PIP test runs only on bbox hits
+            bb = np.asarray([core.bbox_of_rings(r) for _, r in polys], dtype=np.int64)
             px = g["px"].to_numpy()
             py = g["py"].to_numpy()
             pid = g["point_id"].to_numpy()
-            for i in np.flatnonzero(is_pt):
-                x, y = int(px[i]), int(py[i])
-                for pk, rings, (mnx, mny, mxx, mxy) in polys:
-                    if not (mnx <= x <= mxx and mny <= y <= mxy):
-                        continue
-                    if core.point_in_polygon(x, y, rings):
-                        out_pid.append(int(pid[i]))
-                        out_pk.append(pk)
+            pt_idx = np.flatnonzero(is_pt)
+            xs = px[pt_idx][:, None]
+            ys = py[pt_idx][:, None]
+            hits = (
+                (bb[None, :, 0] <= xs) & (xs <= bb[None, :, 2])
+                & (bb[None, :, 1] <= ys) & (ys <= bb[None, :, 3])
+            )
+            for r, c in zip(*np.nonzero(hits)):
+                i = int(pt_idx[r])
+                pk, rings = polys[int(c)]
+                if core.point_in_polygon(int(px[i]), int(py[i]), rings):
+                    out_pid.append(int(pid[i]))
+                    out_pk.append(pk)
         return pa.table(
             {
                 "point_id": pa.array(out_pid, pa.int64()),
