@@ -241,7 +241,10 @@ def _merge_small_faces(
     def current_groups():
         return {find(c) for c in kept_cycles}
 
-    for _ in range(64):  # fixpoint bound (reference loops until none removed)
+    # fixpoint: ONE merge per iteration (shared lengths recomputed after
+    # each), so the bound must cover every small face — the previous fixed
+    # 64 silently left small faces unmerged in large single-tile runs
+    for _ in range(2 * len(kept) + 8):
         # shared boundary length between groups
         shared: dict[tuple[int, int], float] = {}
         for i in range(len(arr.segs)):

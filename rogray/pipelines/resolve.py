@@ -110,6 +110,13 @@ def resolve_overlap_gap(
     cfg = cfg or ResolveConfig()
     plan = plan or prepare(ds, cfg)
     stitched = stitched_faces(ds, cfg, plan)
+    if cfg.clean.min_area_to_keep > 0:
+        # small faces that were border pieces only become final in the
+        # stitch; their longest neighbour may live in another signature
+        # group — dissolve across groups here (JT6 across cell borders)
+        stitched = dissolve_small_faces(
+            stitched, plan.grid, cfg.topology.utm, cfg.clean.min_area_to_keep
+        )
     return _finalize_join(stitched, ds, plan.grid, cfg.topology.utm)
 
 
@@ -409,3 +416,250 @@ def resolve_overlap_gap_resumable(
         stages.stitch_global, batch_format="pyarrow"
     )
     return _finalize_join(stitched, ds, grid, t.utm)
+
+
+# ---------------------------------------------------------------------------
+# cross-signature small-face dissolve (reference JT6 across cell borders:
+# function_01_do_remove_small_areas_no_block.sql:52-93 applied after the
+# master merge).  The per-tile overlay dissolves small INTERIOR faces;
+# faces that were border pieces only become final in the stitch, where
+# their longest-boundary neighbour may carry a different coverage
+# signature and therefore lives in a different stitch group.  This pass
+# runs over the FINAL face set: neighbours discover each other by shared
+# boundary segments (one shuffle), each small face picks the non-small
+# neighbour with the longest shared boundary (reference's longest-edge
+# rule), and merge groups cancel the shared boundary and re-polygonize
+# (second shuffle).  Iterated ``rounds`` times so chains of small faces
+# drain into their eventual absorber.
+# ---------------------------------------------------------------------------
+
+
+def dissolve_small_faces(stitched, grid, utm: bool, min_area: float, rounds: int = 2):
+    import hashlib
+    import json
+
+    from .. import stages as st_mod
+    from ..geom import core, noding, polygonize
+
+    if min_area <= 0:
+        return stitched
+
+    def measure(rings) -> float:
+        if utm:
+            return core.planar_area(rings, grid.precision)
+        return core.geodesic_area(rings, grid.origin_x, grid.origin_y, grid.precision)
+
+    def seg_rows(t: pa.Table) -> pa.Table:
+        """Face rows + boundary-segment rows, unioned schema."""
+        out = {
+            "k": [], "is_seg": [], "uid": [], "small": [], "seg_len": [],
+            "row_json": [], "rings": [],
+        }
+        rings_col = t["rings"].to_pylist()
+        for i in range(len(t)):
+            rings, _ = st_mod.unpack_rings(rings_col[i])
+            uid = hashlib.md5(rings_col[i]).hexdigest()[:16]
+            small = measure(rings) < min_area
+            payload = json.dumps(
+                {
+                    "tile": int(t["tile"][i].as_py()),
+                    "winner_pk": int(t["winner_pk"][i].as_py()),
+                    "others": list(t["others"][i].as_py() or []),
+                    "cov": list(t["cov"][i].as_py() or []),
+                    "is_valid": bool(t["is_valid"][i].as_py()),
+                }
+            )
+            out["k"].append(uid)
+            out["is_seg"].append(False)
+            out["uid"].append(uid)
+            out["small"].append(small)
+            out["seg_len"].append(0.0)
+            out["row_json"].append(payload)
+            out["rings"].append(rings_col[i])
+            for r in rings:
+                nxt = np.roll(r, -1, axis=0)
+                for a, b in zip(r, nxt):
+                    pa_, pb = (tuple(map(int, a)), tuple(map(int, b)))
+                    if pa_ == pb:
+                        continue
+                    key = (pa_, pb) if pa_ <= pb else (pb, pa_)
+                    out["k"].append(f"{key[0][0]},{key[0][1]},{key[1][0]},{key[1][1]}")
+                    out["is_seg"].append(True)
+                    out["uid"].append(uid)
+                    out["small"].append(small)
+                    out["seg_len"].append(
+                        float(np.hypot(pb[0] - pa_[0], pb[1] - pa_[1]))
+                    )
+                    out["row_json"].append("")
+                    out["rings"].append(b"")
+        return pa.table(
+            {
+                "k": pa.array(out["k"], pa.string()),
+                "is_seg": pa.array(out["is_seg"], pa.bool_()),
+                "uid": pa.array(out["uid"], pa.string()),
+                "small": pa.array(out["small"], pa.bool_()),
+                "seg_len": pa.array(out["seg_len"], pa.float64()),
+                "row_json": pa.array(out["row_json"], pa.string()),
+                "rings": pa.array(out["rings"], pa.large_binary()),
+            }
+        )
+
+    def neighbor_pairs(g: pa.Table) -> pa.Table:
+        """Per shared-segment group: emit (small_uid, neighbor_uid, len)."""
+        is_seg = g["is_seg"].to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(is_seg)
+        if len(idx) < 2:
+            return pa.table(
+                {"small_uid": pa.array([], pa.string()),
+                 "nbr_uid": pa.array([], pa.string()),
+                 "nbr_small": pa.array([], pa.bool_()),
+                 "seg_len": pa.array([], pa.float64())}
+            )
+        uids = [g["uid"][int(i)].as_py() for i in idx]
+        smalls = [bool(g["small"][int(i)].as_py()) for i in idx]
+        ln = float(g["seg_len"][int(idx[0])].as_py())
+        out_s, out_n, out_ns, out_l = [], [], [], []
+        for a in range(len(uids)):
+            if not smalls[a]:
+                continue
+            for b in range(len(uids)):
+                if a == b or uids[a] == uids[b]:
+                    continue
+                out_s.append(uids[a])
+                out_n.append(uids[b])
+                out_ns.append(smalls[b])
+                out_l.append(ln)
+        return pa.table(
+            {"small_uid": pa.array(out_s, pa.string()),
+             "nbr_uid": pa.array(out_n, pa.string()),
+             "nbr_small": pa.array(out_ns, pa.bool_()),
+             "seg_len": pa.array(out_l, pa.float64())}
+        )
+
+    def choose_target(g: pa.Table) -> pa.Table:
+        """Per small face: absorb into the NON-small neighbour with the
+        longest total shared boundary (ties: smaller uid)."""
+        import collections
+
+        acc: dict[tuple, float] = collections.defaultdict(float)
+        for i in range(len(g)):
+            if bool(g["nbr_small"][i].as_py()):
+                continue  # only non-small targets this round (chains drain
+                # across rounds, like the reference's smallest-first loop)
+            acc[g["nbr_uid"][i].as_py()] += float(g["seg_len"][i].as_py())
+        if not acc:
+            return pa.table({"small_uid": pa.array([], pa.string()),
+                             "target_uid": pa.array([], pa.string())})
+        best = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        return pa.table(
+            {"small_uid": pa.array([g["small_uid"][0].as_py()], pa.string()),
+             "target_uid": pa.array([best], pa.string())}
+        )
+
+    faces = stitched
+    for _ in range(max(1, rounds)):
+        tagged = faces.map_batches(seg_rows, batch_format="pyarrow")
+        pairs = (
+            tagged.groupby("k").map_groups(neighbor_pairs, batch_format="pyarrow")
+        )
+        targets = pairs.groupby("small_uid").map_groups(
+            choose_target, batch_format="pyarrow"
+        ).to_pandas()
+        if len(targets) == 0:
+            break
+        tmap = dict(zip(targets["small_uid"], targets["target_uid"]))
+        tmap_ref = None
+        import ray as _ray
+
+        tmap_ref = _ray.put(tmap)
+
+        def key_rows(t: pa.Table) -> pa.Table:
+            import ray as _r
+
+            tm = _r.get(tmap_ref)
+            uids = []
+            rings_col = t["rings"].to_pylist()
+            import hashlib as _h
+
+            for i in range(len(t)):
+                uids.append(_h.md5(rings_col[i]).hexdigest()[:16])
+            keys = [tm.get(u, u) for u in uids]
+            grp = [tm.get(u, u) for u in uids]
+            return t.append_column("merge_key", pa.array(grp, pa.string())).append_column(
+                "own_uid", pa.array(uids, pa.string())
+            )
+
+        def merge_group(g: pa.Table) -> pa.Table:
+            if len(g) == 1:
+                return g.drop_columns(["merge_key", "own_uid"])
+            # absorber = the row whose uid equals the merge key
+            mk = g["merge_key"][0].as_py()
+            own = [g["own_uid"][i].as_py() for i in range(len(g))]
+            try:
+                tgt = own.index(mk)
+            except ValueError:
+                return g.drop_columns(["merge_key", "own_uid"])  # target merged elsewhere this round
+            seg_list = []
+            rings_col = g["rings"].to_pylist()
+            for i in range(len(g)):
+                rings, _ = st_mod.unpack_rings(rings_col[i])
+                for r in rings:
+                    nxt = np.roll(r, -1, axis=0)
+                    seg_list.append(np.concatenate([r, nxt], axis=1))
+            segs = np.concatenate(seg_list)
+            # cancel shared boundaries: both orientations of a segment
+            flip = (segs[:, 0] > segs[:, 2]) | ((segs[:, 0] == segs[:, 2]) & (segs[:, 1] > segs[:, 3]))
+            canon = segs.copy()
+            canon[flip] = canon[flip][:, [2, 3, 0, 1]]
+            order = np.lexsort((canon[:, 3], canon[:, 2], canon[:, 1], canon[:, 0]))
+            canon_s = canon[order]
+            same = np.r_[False, np.all(canon_s[1:] == canon_s[:-1], axis=1)]
+            run = np.cumsum(~same)
+            cnt = np.zeros(run.max() + 1, np.int64)
+            np.add.at(cnt, run, 1)
+            keep = cnt[run] == 1
+            kept = canon_s[keep]
+            # restore original orientation is unnecessary: re-polygonize
+            labels = [frozenset([(0, 1)])] * len(kept)
+            segs2, labels2 = noding.node_segments(kept, labels)
+            arr = polygonize.polygonize(segs2, labels2)
+            best_rings = None
+            for f in arr.faces:
+                if best_rings is None or f.area2 > best_rings[0]:
+                    best_rings = (f.area2, [f.shell] + f.holes)
+            if best_rings is None:
+                return g.take(pa.array([tgt], pa.int64())).drop_columns(["merge_key", "own_uid"])
+            new_rings = st_mod.pack_rings(best_rings[1])
+            out = g.take(pa.array([tgt], pa.int64())).drop_columns(["merge_key", "own_uid"])
+            out = out.set_column(out.schema.get_field_index("rings"), "rings",
+                                 pa.array([new_rings], pa.large_binary()))
+            out = out.set_column(out.schema.get_field_index("area2"), "area2",
+                                 pa.array([int(best_rings[0])], pa.int64()))
+            # re-attribute over the merged coverage ledger — the same
+            # area-weighted >50% rule the overlay applies when it dissolves
+            # interior small faces (JT6 then JT7 order in the reference)
+            from ..geom import arrangement as arr_mod
+
+            ledger = [
+                (int(g["area2"][i].as_py()),
+                 frozenset(int(c) for c in (g["cov"][i].as_py() or [])))
+                for i in range(len(g))
+            ]
+            winner, others = arr_mod.attribution(ledger)
+            out = out.set_column(out.schema.get_field_index("winner_pk"), "winner_pk",
+                                 pa.array([-1 if winner is None else int(winner)], pa.int64()))
+            out = out.set_column(out.schema.get_field_index("others"), "others",
+                                 pa.array([[int(o) for o in others]], pa.list_(pa.int64())))
+            # merged is_valid = all members valid (invalid sources taint)
+            iv = all(bool(g["is_valid"][i].as_py()) for i in range(len(g)))
+            out = out.set_column(out.schema.get_field_index("is_valid"), "is_valid",
+                                 pa.array([iv], pa.bool_()))
+            return out
+
+        merge_group.__name__ = "dissolve_merge"
+        faces = (
+            faces.map_batches(key_rows, batch_format="pyarrow")
+            .groupby("merge_key")
+            .map_groups(merge_group, batch_format="pyarrow")
+        )
+    return faces

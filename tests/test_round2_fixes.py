@@ -386,3 +386,35 @@ class TestGiantPolygonClipping:
             for _, r in df_whole.iterrows()
         )
         assert k1 == k2
+
+
+class TestCrossGroupDissolve:
+    def test_min_area_multi_matches_single(self, ray_session):
+        """JT6 across tile borders: small faces that were border pieces get
+        dissolved by the post-stitch pass.  Multi-tile and single-tile runs
+        must agree on the face COUNT (no small face survives anywhere), the
+        exact total area, and attribute mass within 0.5% (the dissolve
+        order differs between the per-tile and global passes, like the
+        reference's per-cell JT6 vs a single-cell run)."""
+        import ray.data as rd
+
+        import rogray.sources as sources
+        from rogray.config import CleanConfig, ResolveConfig, TopologyConfig
+        from rogray.pipelines import resolve
+
+        ds = rd.read_parquet(sources.docs_path_for("x", 300))
+        min_area = 300_000.0
+        multi = resolve.resolve_overlap_gap(ds, ResolveConfig(
+            topology=TopologyConfig(snap_tolerance=1e-5, max_rows_in_each_cell=30, base_level=2),
+            clean=CleanConfig(min_area_to_keep=min_area))).to_pandas()
+        single = resolve.resolve_overlap_gap(ds, ResolveConfig(
+            topology=TopologyConfig(snap_tolerance=1e-5, max_rows_in_each_cell=10**9, base_level=0),
+            clean=CleanConfig(min_area_to_keep=min_area))).to_pandas()
+        assert len(multi) == len(single)
+        assert int((multi["area"] < min_area).sum()) == 0
+        assert int((single["area"] < min_area).sum()) == 0
+        assert abs(multi["area"].sum() - single["area"].sum()) / single["area"].sum() < 1e-12
+        gm = multi.groupby("winner_pk")["area"].sum()
+        gs = single.groupby("winner_pk")["area"].sum()
+        j = gm.to_frame("m").join(gs.to_frame("s"), how="outer").fillna(0.0)
+        assert (j["m"] - j["s"]).abs().sum() / single["area"].sum() < 5e-3
