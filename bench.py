@@ -86,6 +86,14 @@ def run_bench() -> dict:
     queries["dedup_exact"] = round(time.time() - t0, 3)
 
     t0 = time.time()
+    dedup.ngram_jaccard_pairs(rd.read_parquet(f"{sf_dir}/documents.parquet")).count()
+    queries["dedup_ngram_jaccard"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.events_sessionize(sf_dir).count()
+    queries["events_sessionize"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 

@@ -99,6 +99,39 @@ def minhash_signatures(ds, col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_PAIR_TRIU: dict[int, tuple] = {}
+
+
+def _pair_idx(k: int):
+    got = _PAIR_TRIU.get(k)
+    if got is None:
+        got = np.triu_indices(k, k=1)
+        if k <= 2048:
+            _PAIR_TRIU[k] = got
+    return got
+
+
+def _dedup_pairs(pairs_ds, n_buckets: int = 199):
+    """Global (id_a, id_b) dedup via hash buckets — one vectorized
+    drop_duplicates per bucket instead of a map_groups group per pair."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        a = t["id_a"].cast(pa.string()).to_pylist()
+        b = t["id_b"].cast(pa.string()).to_pylist()
+        pb = [zlib.crc32(f"{x}|{y}".encode()) % n_buckets for x, y in zip(a, b)]
+        return t.append_column("pb", pa.array(pb, pa.int32()))
+
+    def drop(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["pb"])
+
+    return (
+        pairs_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(drop, batch_format="pandas")
+    )
+
+
+
 def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
     """Near-duplicate pairs via LSH banding, verified by the estimated
     Jaccard (fraction of matching minhashes).
@@ -124,7 +157,9 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
             }
         )
 
-    sigs_ds = ds.map_batches(sig_rows, batch_format="pyarrow")
+    # consumed by the banding pass AND both attach passes: pin the (small)
+    # signature table once instead of recomputing the minhashes 3x
+    sigs_ds = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -144,24 +179,32 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates(subset=["doc_id"])
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ids = g["doc_id"].tolist()
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # hash-bucket the (band, bhash) groups: each Ray group handles many
+        # LSH buckets vectorized (per-bucket map_groups groups cost
+        # milliseconds of scheduling each at 16 x n_docs band rows)
+        band = t["band"].to_numpy()
+        bh = t["bhash"].to_numpy()
+        gb = ((band.astype(np.int64) * 1_000_003 + bh) % 199).astype(np.int32)
+        return t.append_column("gb", pa.array(gb, pa.int32()))
 
-    cand = (
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        ids_all = g["doc_id"].to_numpy()
+        for _, idx in g.groupby(["band", "bhash"]).indices.items():
+            ids = np.unique(ids_all[idx])
+            if len(ids) < 2:
+                continue
+            ii, jj = _pair_idx(len(ids))
+            out_a.extend(ids[ii].tolist())
+            out_b.extend(ids[jj].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates()
+
+    cand = _dedup_pairs(
         sigs_ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "bhash"])
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(band_pairs, batch_format="pandas")
     )
     withAB = _attach_pair_blobs(cand, sigs_ds, id_type, blob_col="sig")
 
@@ -405,15 +448,25 @@ def _gram_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.array(sorted(hs), dtype=np.int64)
 
 
-def _attach_pair_blobs(cand, blob_ds, id_type, blob_col: str = "grams"):
+def _attach_pair_blobs(cand, blob_ds, id_type, blob_col: str = "grams",
+                       n_buckets: int = 199):
     """Attach ``blob_ds``'s per-doc blob to candidate pairs on BOTH ids via
-    two reduce-side sort-shuffle joins (no broadcast, no Dataset.join, and
-    immune to empty-schema blocks).  cand: (id_a, id_b); blob_ds:
-    (doc_id, <blob_col>).  Returns (id_a, id_b, blob_a, blob_b)."""
+    two reduce-side sort-shuffle joins.  Keys are HASH-BUCKETED (~hundreds
+    of groups) and each bucket joins vectorized with a pandas merge —
+    per-key map_groups groups would pay milliseconds of scheduling per doc.
+    cand: (id_a, id_b); blob_ds: (doc_id, <blob_col>).  Returns
+    (id_a, id_b, blob_a, blob_b)."""
+
+    def bucket_of(col: pa.ChunkedArray) -> pa.Array:
+        vals = col.cast(pa.string()).to_pylist()
+        return pa.array(
+            [zlib.crc32(v.encode()) % n_buckets for v in vals], pa.int32()
+        )
 
     def make_attach(key_col: str, blob_cols: list[str], blob_name: str):
         out_schema = pa.schema(
-            [("k", pa.string()), ("is_doc", pa.bool_()), ("doc_blob", pa.large_binary()),
+            [("b", pa.int32()), ("is_doc", pa.bool_()), ("k", pa.string()),
+             ("doc_blob", pa.large_binary()),
              ("id_a", id_type), ("id_b", id_type)]
             + [(c, pa.large_binary()) for c in blob_cols]
         )
@@ -421,8 +474,9 @@ def _attach_pair_blobs(cand, blob_ds, id_type, blob_col: str = "grams"):
         def tag_pairs(t: pa.Table) -> pa.Table:
             n_ = len(t)
             d = {
-                "k": t[key_col].cast(pa.string()).combine_chunks(),
+                "b": bucket_of(t[key_col]),
                 "is_doc": pa.array([False] * n_, pa.bool_()),
+                "k": t[key_col].cast(pa.string()).combine_chunks(),
                 "doc_blob": pa.array([None] * n_, pa.large_binary()),
                 "id_a": t["id_a"].cast(id_type).combine_chunks(),
                 "id_b": t["id_b"].cast(id_type).combine_chunks(),
@@ -438,8 +492,9 @@ def _attach_pair_blobs(cand, blob_ds, id_type, blob_col: str = "grams"):
         def tag_docs(t: pa.Table) -> pa.Table:
             n_ = len(t)
             d = {
-                "k": t["doc_id"].cast(pa.string()).combine_chunks(),
+                "b": bucket_of(t["doc_id"]),
                 "is_doc": pa.array([True] * n_, pa.bool_()),
+                "k": t["doc_id"].cast(pa.string()).combine_chunks(),
                 "doc_blob": t[blob_col].cast(pa.large_binary()).combine_chunks(),
                 "id_a": pa.array([None] * n_, id_type),
                 "id_b": pa.array([None] * n_, id_type),
@@ -457,15 +512,29 @@ def _attach_pair_blobs(cand, blob_ds, id_type, blob_col: str = "grams"):
         def combine(g: pa.Table) -> pa.Table:
             is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
             pair_idx = np.flatnonzero(~is_doc)
-            doc_idx = np.flatnonzero(is_doc)
-            if len(pair_idx) == 0 or len(doc_idx) == 0:
+            if len(pair_idx) == 0:
                 return res_schema.empty_table()
-            blob = g["doc_blob"][int(doc_idx[0])].as_py()
-            prs = g.take(pa.array(pair_idx, pa.int64()))
-            d = {"id_a": prs["id_a"].combine_chunks(), "id_b": prs["id_b"].combine_chunks()}
+            doc_idx = np.flatnonzero(is_doc)
+            prs = g.take(pa.array(pair_idx, pa.int64())).to_pandas()
+            docs = g.take(pa.array(doc_idx, pa.int64())).to_pandas()
+            merged = prs.merge(
+                docs[["k", "doc_blob"]].rename(columns={"doc_blob": blob_name}),
+                on="k", how="left",
+            )
+            d = {
+                "id_a": pa.array(merged["id_a"].tolist(), id_type),
+                "id_b": pa.array(merged["id_b"].tolist(), id_type),
+            }
             for c in blob_cols:
-                d[c] = prs[c].combine_chunks()
-            d[blob_name] = pa.array([blob] * len(prs), pa.large_binary())
+                d[c] = pa.array(
+                    [None if v is None or v != v else v for v in merged[c]],
+                    pa.large_binary(),
+                )
+            d[blob_name] = pa.array(
+                [None if v is None or (isinstance(v, float) and v != v) else v
+                 for v in merged[blob_name]],
+                pa.large_binary(),
+            )
             return pa.table(d, schema=res_schema)
 
         combine.__name__ = f"attach_{blob_name}"
@@ -475,14 +544,14 @@ def _attach_pair_blobs(cand, blob_ds, id_type, blob_col: str = "grams"):
     withA = (
         cand.map_batches(tag_p1, batch_format="pyarrow")
         .union(blob_ds.map_batches(tag_d1, batch_format="pyarrow"))
-        .groupby("k")
+        .groupby("b")
         .map_groups(comb1, batch_format="pyarrow")
     )
     tag_p2, tag_d2, comb2 = make_attach("id_b", ["blob_a"], "blob_b")
     return (
         withA.map_batches(tag_p2, batch_format="pyarrow")
         .union(blob_ds.map_batches(tag_d2, batch_format="pyarrow"))
-        .groupby("k")
+        .groupby("b")
         .map_groups(comb2, batch_format="pyarrow")
     )
 
@@ -521,12 +590,32 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
             }
         )
 
-    grams_ds = ds.map_batches(gram_rows, batch_format="pyarrow")
+    # consumed by the prefix pass AND both attach passes: pin the gram
+    # table once instead of recomputing the n-gram hashing 3x
+    grams_ds = ds.map_batches(gram_rows, batch_format="pyarrow").materialize()
     grams_schema = pa.schema(
         [("doc_id", ds.schema().base_schema.field("doc_id").type), ("grams", pa.large_binary())]
     )
 
+    # prefix ORDER: any consistent global order is exact; ordering hot
+    # (document-frequent) grams LAST keeps them out of prefixes, so the
+    # candidate groups stay small (the AllPairs df-ordering, approximated
+    # with a sampled frequency table broadcast to all tasks — the same
+    # sample-then-broadcast pattern as the tiling histogram)
+    import collections
+
+    import ray as _ray
+
+    freq: collections.Counter = collections.Counter()
+    n_sampled = 0
+    for row in grams_ds.limit(20000).take_all():
+        n_sampled += 1
+        freq.update(np.frombuffer(row["grams"], dtype=np.int64).tolist())
+    hot_cut = max(8, int(0.01 * max(1, n_sampled)))
+    hot_ref = _ray.put(frozenset(h for h, c in freq.items() if c >= hot_cut))
+
     def prefix_rows(t: pa.Table) -> pa.Table:
+        hot = _ray.get(hot_ref)
         ids = t["doc_id"].to_pylist()
         out_g, out_id, out_sz = [], [], []
         for did, blob in zip(ids, t["grams"].to_pylist()):
@@ -535,7 +624,9 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
             if g == 0:
                 continue
             p = g - int(np.ceil(threshold * g)) + 1
-            for h in hs[:p]:
+            # rarest-first order: cold grams (by hash) before hot grams
+            order = sorted(hs.tolist(), key=lambda h: (h in hot, h))
+            for h in order[:p]:
                 out_g.append(int(h))
                 out_id.append(did)
                 out_sz.append(g)
@@ -547,29 +638,32 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
             }
         )
 
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates(subset=["doc_id"])
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ids = g["doc_id"].tolist()
-        sz = g["gsize"].to_numpy()
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            # size filter: J >= t requires |A∩B| >= t*max => min >= t*max
-            ok = np.ceil(threshold * np.maximum(sz[i + 1 :], sz[i])) <= np.minimum(
-                sz[i + 1 :], sz[i]
-            )
-            for k in np.flatnonzero(ok):
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + k])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        gb = (t["gram"].to_numpy() % 199).astype(np.int32)
+        return t.append_column("gb", pa.array(gb, pa.int32()))
 
-    cand = (
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        # many gram groups per Ray group, each vectorized: size filter is
+        # J >= t  =>  |A∩B| >= t*max  =>  min(size) >= t*max(size)
+        out_a, out_b = [], []
+        ids_all = g["doc_id"].to_numpy()
+        sz_all = g["gsize"].to_numpy()
+        for _, idx in g.groupby("gram").indices.items():
+            ids, first = np.unique(ids_all[idx], return_index=True)
+            if len(ids) < 2:
+                continue
+            sz = sz_all[idx][first]
+            ii, jj = _pair_idx(len(ids))
+            ok = np.ceil(threshold * np.maximum(sz[ii], sz[jj])) <= np.minimum(sz[ii], sz[jj])
+            out_a.extend(ids[ii[ok]].tolist())
+            out_b.extend(ids[jj[ok]].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates()
+
+    cand = _dedup_pairs(
         grams_ds.map_batches(prefix_rows, batch_format="pyarrow")
-        .groupby("gram")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("gb")
         .map_groups(candidates, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
 
     withAB = _attach_pair_blobs(cand, grams_ds, grams_schema.field("doc_id").type)
