@@ -241,6 +241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": lambda sf: dedup.simhash_pairs(_docs(sf)),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(_docs(sf)),
         "dedup_embedding_exact": lambda sf: dedup.embedding_neardup_exact(_embs(sf)),
+        "dedup_clusters": lambda sf: __import__(
+            "rogray.clusters", fromlist=["duplicate_clusters"]
+        ).duplicate_clusters(_docs(sf)),
         "dedup_embedding_lsh": lambda sf: dedup.embedding_neardup_pairs(_embs(sf)),
         # --- similarity search ---
         "ann_brute_topk": ann_brute,
@@ -255,6 +258,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "knn_cell_expansion": spatial_query.knn_embedding_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),
+        "dedup_clusters": __import__(
+            "rogray.clusters", fromlist=["duplicate_clusters_sql"]
+        ).duplicate_clusters_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "top_customers": relational.top_customers_sql(),
         "events_hourly": relational.events_hourly_sql(),

@@ -253,3 +253,24 @@ class TestAnnRecall:
         for _, r in top1.iterrows():
             got = set(ivf[ivf["query_id"] == r["query_id"]]["vec_id"])
             assert r["vec_id"] in got
+
+
+class TestDuplicateClusters:
+    def test_cc_both_paths_agree(self, ray_session):
+        """Connected components over near-dup pairs: the driver union-find
+        fast path and the distributed min-label propagation must produce
+        identical clusters (cluster_id = component min doc_id)."""
+        import ray.data as rd
+
+        from rogray import clusters
+
+        sf = "/root/testdata/sf0.001"
+        ds = rd.read_parquet(f"{sf}/documents.parquet")
+        fast = clusters.duplicate_clusters(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        dist = clusters.duplicate_clusters(ds, driver_pair_limit=0, rounds=6).to_pandas()
+        dist = dist.sort_values("doc_id").reset_index(drop=True)[["doc_id", "cluster_id"]]
+        assert len(fast) > 0
+        assert fast[["doc_id", "cluster_id"]].equals(dist.astype(fast.dtypes.to_dict()))
+        # every cluster_id is the min doc_id of its member set
+        g = fast.groupby("cluster_id")["doc_id"].min()
+        assert (g.index == g.values).all()
