@@ -415,6 +415,10 @@ def resolve_overlap_gap_resumable(
     stitched = st.groupby("stitch_key").map_groups(
         stages.stitch_global, batch_format="pyarrow"
     )
+    if cfg.clean.min_area_to_keep > 0:
+        stitched = dissolve_small_faces(
+            stitched, grid, t.utm, cfg.clean.min_area_to_keep
+        )
     return _finalize_join(stitched, ds, grid, t.utm)
 
 

@@ -274,3 +274,31 @@ class TestDuplicateClusters:
         # every cluster_id is the min doc_id of its member set
         g = fast.groupby("cluster_id")["doc_id"].min()
         assert (g.index == g.values).all()
+
+
+class TestLangId:
+    def test_stopword_heuristic_on_known_texts(self, ray_session):
+        """lang_id is a heuristic with no oracle; pin its behaviour on
+        texts written with each language's stopwords.  (The fixture's lang
+        column is a random label, not a property of the synthetic text, so
+        accuracy against it is not meaningful.)"""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from rogray import textstats
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the cat and the dog are in the house with that hat",
+                        "el gato y el perro en la casa con los ninos y las cosas",
+                        "le chat et le chien dans la maison avec les choses et une idee",
+                        "der Hund und die Katze in das Haus mit den Sachen und ein Ding",
+                    ]
+                ),
+            }
+        )
+        pred = textstats.lang_id(rd.from_arrow(docs)).to_pandas().sort_values("doc_id")
+        assert pred["lang_pred"].tolist() == ["en", "es", "fr", "de"]
