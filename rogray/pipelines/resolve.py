@@ -438,9 +438,11 @@ def resolve_overlap_gap_resumable(
 # ---------------------------------------------------------------------------
 
 
-def dissolve_small_faces(stitched, grid, utm: bool, min_area: float, rounds: int = 2):
+def dissolve_small_faces(stitched, grid, utm: bool, min_area: float, rounds: int = 3,
+                         n_buckets: int = 499):
     import hashlib
-    import json
+
+    import pandas as pd
 
     from .. import stages as st_mod
     from ..geom import core, noding, polygonize
@@ -454,155 +456,155 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float, rounds: int
         return core.geodesic_area(rings, grid.origin_x, grid.origin_y, grid.precision)
 
     def seg_rows(t: pa.Table) -> pa.Table:
-        """Face rows + boundary-segment rows, unioned schema."""
-        out = {
-            "k": [], "is_seg": [], "uid": [], "small": [], "seg_len": [],
-            "row_json": [], "rings": [],
-        }
+        """One row per boundary segment: (bucket, packed seg key, uid,
+        small, len) — fully vectorized per face; keys are two packed int64s
+        (coords < 2^28 so x<<31|y is collision-free) and HASH-BUCKETED so
+        each Ray group handles thousands of segments vectorized."""
+        uids_l, small_l, k1_l, k2_l, ln_l = [], [], [], [], []
         rings_col = t["rings"].to_pylist()
         for i in range(len(t)):
             rings, _ = st_mod.unpack_rings(rings_col[i])
             uid = hashlib.md5(rings_col[i]).hexdigest()[:16]
             small = measure(rings) < min_area
-            payload = json.dumps(
-                {
-                    "tile": int(t["tile"][i].as_py()),
-                    "winner_pk": int(t["winner_pk"][i].as_py()),
-                    "others": list(t["others"][i].as_py() or []),
-                    "cov": list(t["cov"][i].as_py() or []),
-                    "is_valid": bool(t["is_valid"][i].as_py()),
-                }
-            )
-            out["k"].append(uid)
-            out["is_seg"].append(False)
-            out["uid"].append(uid)
-            out["small"].append(small)
-            out["seg_len"].append(0.0)
-            out["row_json"].append(payload)
-            out["rings"].append(rings_col[i])
             for r in rings:
                 nxt = np.roll(r, -1, axis=0)
-                for a, b in zip(r, nxt):
-                    pa_, pb = (tuple(map(int, a)), tuple(map(int, b)))
-                    if pa_ == pb:
-                        continue
-                    key = (pa_, pb) if pa_ <= pb else (pb, pa_)
-                    out["k"].append(f"{key[0][0]},{key[0][1]},{key[1][0]},{key[1][1]}")
-                    out["is_seg"].append(True)
-                    out["uid"].append(uid)
-                    out["small"].append(small)
-                    out["seg_len"].append(
-                        float(np.hypot(pb[0] - pa_[0], pb[1] - pa_[1]))
-                    )
-                    out["row_json"].append("")
-                    out["rings"].append(b"")
+                fl = (r[:, 0] > nxt[:, 0]) | ((r[:, 0] == nxt[:, 0]) & (r[:, 1] > nxt[:, 1]))
+                a_ = np.where(fl[:, None], nxt, r)
+                b_ = np.where(fl[:, None], r, nxt)
+                ln = np.hypot((b_[:, 0] - a_[:, 0]).astype(float), (b_[:, 1] - a_[:, 1]).astype(float))
+                keep = ln > 0
+                k1 = (a_[keep, 0] << np.int64(31)) | a_[keep, 1]
+                k2 = (b_[keep, 0] << np.int64(31)) | b_[keep, 1]
+                n_ = int(keep.sum())
+                uids_l.append(np.full(n_, uid, dtype=object))
+                small_l.append(np.full(n_, small, dtype=bool))
+                k1_l.append(k1)
+                k2_l.append(k2)
+                ln_l.append(ln[keep])
+        if not k1_l:
+            return pa.table({
+                "sb": pa.array([], pa.int32()), "k1": pa.array([], pa.int64()),
+                "k2": pa.array([], pa.int64()), "uid": pa.array([], pa.string()),
+                "small": pa.array([], pa.bool_()), "seg_len": pa.array([], pa.float64()),
+            })
+        k1 = np.concatenate(k1_l)
+        k2 = np.concatenate(k2_l)
+        sb = ((k1 * np.int64(2654435761) + k2) % np.int64(n_buckets)).astype(np.int32)
+        sb = np.abs(sb)
         return pa.table(
             {
-                "k": pa.array(out["k"], pa.string()),
-                "is_seg": pa.array(out["is_seg"], pa.bool_()),
-                "uid": pa.array(out["uid"], pa.string()),
-                "small": pa.array(out["small"], pa.bool_()),
-                "seg_len": pa.array(out["seg_len"], pa.float64()),
-                "row_json": pa.array(out["row_json"], pa.string()),
-                "rings": pa.array(out["rings"], pa.large_binary()),
+                "sb": pa.array(sb, pa.int32()),
+                "k1": pa.array(k1, pa.int64()),
+                "k2": pa.array(k2, pa.int64()),
+                "uid": pa.array(np.concatenate(uids_l).tolist(), pa.string()),
+                "small": pa.array(np.concatenate(small_l), pa.bool_()),
+                "seg_len": pa.array(np.concatenate(ln_l), pa.float64()),
             }
         )
 
-    def neighbor_pairs(g: pa.Table) -> pa.Table:
-        """Per shared-segment group: emit (small_uid, neighbor_uid, len)."""
-        is_seg = g["is_seg"].to_numpy(zero_copy_only=False)
-        idx = np.flatnonzero(is_seg)
-        if len(idx) < 2:
-            return pa.table(
-                {"small_uid": pa.array([], pa.string()),
-                 "nbr_uid": pa.array([], pa.string()),
-                 "nbr_small": pa.array([], pa.bool_()),
-                 "seg_len": pa.array([], pa.float64())}
-            )
-        uids = [g["uid"][int(i)].as_py() for i in idx]
-        smalls = [bool(g["small"][int(i)].as_py()) for i in idx]
-        ln = float(g["seg_len"][int(idx[0])].as_py())
-        out_s, out_n, out_ns, out_l = [], [], [], []
-        for a in range(len(uids)):
-            if not smalls[a]:
+    import zlib as _zlib
+
+    def zlib_crc(s_: str) -> int:
+        return _zlib.crc32(s_.encode())
+
+    def neighbor_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Per bucket: vectorized over its many segment groups — emit
+        (small_uid, nbr_uid, nbr_small, len) for segments shared by a small
+        face and any other face."""
+        out = []
+        for _, idx in g.groupby(["k1", "k2"]).indices.items():
+            sub = g.iloc[idx]
+            if not sub["small"].any() or len(sub) < 2:
                 continue
-            for b in range(len(uids)):
-                if a == b or uids[a] == uids[b]:
+            rows = sub[["uid", "small", "seg_len"]].drop_duplicates("uid")
+            if len(rows) < 2:
+                continue
+            ln = float(rows["seg_len"].iloc[0])
+            us = rows["uid"].tolist()
+            sm = rows["small"].tolist()
+            for a in range(len(us)):
+                if not sm[a]:
                     continue
-                out_s.append(uids[a])
-                out_n.append(uids[b])
-                out_ns.append(smalls[b])
-                out_l.append(ln)
-        return pa.table(
-            {"small_uid": pa.array(out_s, pa.string()),
-             "nbr_uid": pa.array(out_n, pa.string()),
-             "nbr_small": pa.array(out_ns, pa.bool_()),
-             "seg_len": pa.array(out_l, pa.float64())}
-        )
+                for b in range(len(us)):
+                    if a == b:
+                        continue
+                    out.append((us[a], us[b], sm[b], ln))
+        if not out:
+            return pd.DataFrame({"small_uid": [], "nbr_uid": [], "nbr_small": [], "seg_len": []})
+        return pd.DataFrame(out, columns=["small_uid", "nbr_uid", "nbr_small", "seg_len"])
 
-    def choose_target(g: pa.Table) -> pa.Table:
-        """Per small face: absorb into the NON-small neighbour with the
-        longest total shared boundary (ties: smaller uid)."""
-        import collections
-
-        acc: dict[tuple, float] = collections.defaultdict(float)
-        for i in range(len(g)):
-            if bool(g["nbr_small"][i].as_py()):
-                continue  # only non-small targets this round (chains drain
-                # across rounds, like the reference's smallest-first loop)
-            acc[g["nbr_uid"][i].as_py()] += float(g["seg_len"][i].as_py())
-        if not acc:
-            return pa.table({"small_uid": pa.array([], pa.string()),
-                             "target_uid": pa.array([], pa.string())})
-        best = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
-        return pa.table(
-            {"small_uid": pa.array([g["small_uid"][0].as_py()], pa.string()),
-             "target_uid": pa.array([best], pa.string())}
-        )
+    def choose_targets(g: pd.DataFrame) -> pd.DataFrame:
+        """Per bucket of small_uids: longest-total-shared-boundary neighbour.
+        Prefer non-small targets; a small target is allowed only when its
+        uid is SMALLER than the absorbed face's (no 2-cycles: the
+        smaller-uid face never points back at a larger one)."""
+        out_s, out_t = [], []
+        for su, idx in g.groupby("small_uid").indices.items():
+            sub = g.iloc[idx]
+            acc = sub.groupby(["nbr_uid", "nbr_small"], as_index=False)["seg_len"].sum()
+            ns = acc[~acc["nbr_small"]]
+            if len(ns):
+                best = ns.sort_values(["seg_len", "nbr_uid"], ascending=[False, True]).iloc[0]
+            else:
+                sm = acc[acc["nbr_small"] & (acc["nbr_uid"] < su)]
+                if not len(sm):
+                    continue
+                best = sm.sort_values(["seg_len", "nbr_uid"], ascending=[False, True]).iloc[0]
+            out_s.append(su)
+            out_t.append(best["nbr_uid"])
+        return pd.DataFrame({"small_uid": out_s, "target_uid": out_t})
 
     faces = stitched
     for _ in range(max(1, rounds)):
         tagged = faces.map_batches(seg_rows, batch_format="pyarrow")
-        pairs = (
-            tagged.groupby("k").map_groups(neighbor_pairs, batch_format="pyarrow")
+        pairs = tagged.groupby("sb").map_groups(neighbor_pairs, batch_format="pandas")
+
+        def add_tb(t: pa.Table) -> pa.Table:
+            tb = [zlib_crc(u) % n_buckets for u in t["small_uid"].to_pylist()]
+            return t.append_column("tb", pa.array(tb, pa.int32()))
+
+        targets = (
+            pairs.map_batches(add_tb, batch_format="pyarrow")
+            .groupby("tb")
+            .map_groups(choose_targets, batch_format="pandas")
+            .to_pandas()
         )
-        targets = pairs.groupby("small_uid").map_groups(
-            choose_target, batch_format="pyarrow"
-        ).to_pandas()
         if len(targets) == 0:
             break
-        tmap = dict(zip(targets["small_uid"], targets["target_uid"]))
-        tmap_ref = None
+        # the target map is small (one entry per surviving small face):
+        # broadcast once via the object store, like the tiling cut
         import ray as _ray
 
+        tmap = dict(zip(targets["small_uid"], targets["target_uid"]))
+        involved = frozenset(tmap) | frozenset(tmap.values())
         tmap_ref = _ray.put(tmap)
+        inv_ref = _ray.put(involved)
 
         def key_rows(t: pa.Table) -> pa.Table:
+            import hashlib as _h
+
             import ray as _r
 
             tm = _r.get(tmap_ref)
-            uids = []
-            rings_col = t["rings"].to_pylist()
-            import hashlib as _h
-
-            for i in range(len(t)):
-                uids.append(_h.md5(rings_col[i]).hexdigest()[:16])
-            keys = [tm.get(u, u) for u in uids]
+            inv = _r.get(inv_ref)
+            uids = [_h.md5(b).hexdigest()[:16] for b in t["rings"].to_pylist()]
             grp = [tm.get(u, u) for u in uids]
-            return t.append_column("merge_key", pa.array(grp, pa.string())).append_column(
-                "own_uid", pa.array(uids, pa.string())
+            flag = [u in inv for u in uids]
+            return (
+                t.append_column("merge_key", pa.array(grp, pa.string()))
+                .append_column("own_uid", pa.array(uids, pa.string()))
+                .append_column("involved", pa.array(flag, pa.bool_()))
             )
-
         def merge_group(g: pa.Table) -> pa.Table:
             if len(g) == 1:
                 return g.drop_columns(["merge_key", "own_uid"])
-            # absorber = the row whose uid equals the merge key
             mk = g["merge_key"][0].as_py()
             own = [g["own_uid"][i].as_py() for i in range(len(g))]
             try:
                 tgt = own.index(mk)
             except ValueError:
-                return g.drop_columns(["merge_key", "own_uid"])  # target merged elsewhere this round
+                # target itself was absorbed elsewhere this round: retry next
+                return g.drop_columns(["merge_key", "own_uid"])
             seg_list = []
             rings_col = g["rings"].to_pylist()
             for i in range(len(g)):
@@ -611,7 +613,6 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float, rounds: int
                     nxt = np.roll(r, -1, axis=0)
                     seg_list.append(np.concatenate([r, nxt], axis=1))
             segs = np.concatenate(seg_list)
-            # cancel shared boundaries: both orientations of a segment
             flip = (segs[:, 0] > segs[:, 2]) | ((segs[:, 0] == segs[:, 2]) & (segs[:, 1] > segs[:, 3]))
             canon = segs.copy()
             canon[flip] = canon[flip][:, [2, 3, 0, 1]]
@@ -621,9 +622,7 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float, rounds: int
             run = np.cumsum(~same)
             cnt = np.zeros(run.max() + 1, np.int64)
             np.add.at(cnt, run, 1)
-            keep = cnt[run] == 1
-            kept = canon_s[keep]
-            # restore original orientation is unnecessary: re-polygonize
+            kept = canon_s[cnt[run] == 1]
             labels = [frozenset([(0, 1)])] * len(kept)
             segs2, labels2 = noding.node_segments(kept, labels)
             arr = polygonize.polygonize(segs2, labels2)
@@ -654,16 +653,33 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float, rounds: int
                                  pa.array([-1 if winner is None else int(winner)], pa.int64()))
             out = out.set_column(out.schema.get_field_index("others"), "others",
                                  pa.array([[int(o) for o in others]], pa.list_(pa.int64())))
-            # merged is_valid = all members valid (invalid sources taint)
             iv = all(bool(g["is_valid"][i].as_py()) for i in range(len(g)))
             out = out.set_column(out.schema.get_field_index("is_valid"), "is_valid",
                                  pa.array([iv], pa.bool_()))
             return out
 
         merge_group.__name__ = "dissolve_merge"
-        faces = (
-            faces.map_batches(key_rows, batch_format="pyarrow")
+        # only faces participating in a merge go through the (per-group)
+        # merge shuffle; everything else bypasses — the involved set is a
+        # tiny fraction, so this keeps the groupby at hundreds of groups
+        # instead of one group per output face
+        tagged = faces.map_batches(key_rows, batch_format="pyarrow").materialize()
+
+        def keep_involved(t: pa.Table) -> pa.Table:
+            return t.filter(t["involved"])
+
+        def keep_rest(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.invert(t["involved"])).drop_columns(
+                ["merge_key", "own_uid", "involved"]
+            )
+
+        merged = (
+            tagged.map_batches(keep_involved, batch_format="pyarrow")
+            .map_batches(lambda t: t.drop_columns(["involved"]), batch_format="pyarrow")
             .groupby("merge_key")
             .map_groups(merge_group, batch_format="pyarrow")
         )
+        faces = tagged.map_batches(keep_rest, batch_format="pyarrow").union(merged)
     return faces
