@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 
 
-def duplicate_clusters(ds, threshold: float = 0.5, rounds: int = 6,
+def duplicate_clusters(ds, threshold: float = 0.5, rounds: int = 64,
                        n_buckets: int = 199, driver_pair_limit: int = 5_000_000):
     """(doc_id, cluster_id) for every document in at least one near-dup
     pair; cluster_id = the minimum doc_id of the component.
@@ -103,6 +103,21 @@ def duplicate_clusters(ds, threshold: float = 0.5, rounds: int = 6,
         .materialize()
     )
 
+    def _label_fingerprint(lds) -> int:
+        # order-independent multiset hash of (node, lbl); min-label
+        # propagation is monotone, so any change changes the multiset
+        def fp(t: pa.Table) -> pa.Table:
+            h = [
+                zlib.crc32(f"{n}|{l}".encode())
+                for n, l in zip(t["node"].to_pylist(), t["lbl"].to_pylist())
+            ]
+            return pa.table({"h": pa.array(h, pa.int64())})
+
+        s = lds.map_batches(fp, batch_format="pyarrow").sum("h")
+        return int(s or 0)
+
+    prev_fp = _label_fingerprint(labels)
+    converged = False
     for _ in range(max(1, rounds)):
         # send each node's label to its neighbours: key messages by the
         # RECEIVER's bucket; combine with the receiver's own label
@@ -156,6 +171,21 @@ def duplicate_clusters(ds, threshold: float = 0.5, rounds: int = 6,
         labels = (
             combined.groupby("b").map_groups(reduce_labels, batch_format="pandas")
         ).materialize()
+
+        fp = _label_fingerprint(labels)
+        if fp == prev_fp:  # fixpoint: no label changed this round
+            converged = True
+            break
+        prev_fp = fp
+
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "duplicate_clusters: label propagation did not converge within "
+            "%d rounds; components with diameter > rounds may be split",
+            rounds,
+        )
 
     def finish(t) -> pd.DataFrame:
         df = t if isinstance(t, pd.DataFrame) else t.to_pandas()

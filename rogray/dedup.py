@@ -441,9 +441,20 @@ def _word_ngrams(text: str, n: int = 3) -> set:
 
 
 def _gram_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Sorted distinct crc32 hashes of word n-grams (deterministic)."""
+    """Sorted distinct 64-bit blake2b hashes of word n-grams.
+
+    64-bit (not crc32): documents with 10^4-10^5 distinct grams would see
+    birthday collisions at 32 bits, shifting the computed Jaccard off the
+    string-based SQL oracle on threshold-boundary pairs."""
+    import hashlib
+
     hs = {
-        zlib.crc32(" ".join(g).encode("utf-8")) for g in _word_ngrams(text, n)
+        int.from_bytes(
+            hashlib.blake2b(" ".join(g).encode("utf-8"), digest_size=8).digest(),
+            "big",
+            signed=True,
+        )
+        for g in _word_ngrams(text, n)
     }
     return np.array(sorted(hs), dtype=np.int64)
 

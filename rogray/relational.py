@@ -333,7 +333,7 @@ def events_sessionize(sf_dir: str, gap_seconds: int = 1800):
 def events_sessionize_sql(gap_seconds: int = 1800) -> str:
     return f"""
         WITH e AS (
-          SELECT user_id, epoch_us(ts) AS t_us,
+          SELECT user_id, event_id, epoch_us(ts) AS t_us,
                  CAST(round(value * 100) AS BIGINT) AS value_c,
                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_seconds} * 1000000
                       THEN 1 ELSE 0 END AS new_s
@@ -341,7 +341,7 @@ def events_sessionize_sql(gap_seconds: int = 1800) -> str:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), s AS (
           SELECT user_id, t_us, value_c,
-                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_us, event_id
                                   ROWS UNBOUNDED PRECEDING) AS sid
           FROM e
         )

@@ -103,12 +103,25 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10,
     """IVF-bucketed approximate top-k (the 100TB path).
 
     Centroids come from deterministic spherical k-means on a bounded
-    ``limit(train_sample)`` sample (driver-side, tiny); vectors shuffle
-    once by nearest centroid; each query scans only its n_probe nearest
-    buckets.  Recall vs brute_topk is asserted in tests/test_ops.py.
+    RANDOM sample (seeded ``random_sample``; driver-side, tiny) — a
+    head-of-dataset ``limit`` would train unrepresentative centroids on
+    sorted or clustered input; vectors shuffle once by nearest centroid;
+    each query scans only its n_probe nearest buckets.  Recall vs
+    brute_topk is asserted in tests/test_ops.py.
     """
     qn = _normalize(np.asarray(queries, dtype=np.float64))
-    sample_rows = ds.limit(train_sample).take_all()
+    n_total = ds.count()
+    if n_total == 0:
+        raise ValueError("ivf_topk: empty dataset")
+    if n_total <= train_sample:
+        sample_rows = ds.take_all()
+    else:
+        frac = min(1.0, 1.5 * train_sample / n_total)
+        sample_rows = (
+            ds.random_sample(frac, seed=seed).limit(train_sample).take_all()
+        )
+        if not sample_rows:  # pathological sampling miss: fall back
+            sample_rows = ds.limit(train_sample).take_all()
     sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
     cents = _kmeans_lite(sample, n_centroids, seed)
     q_probe = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
