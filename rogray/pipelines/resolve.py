@@ -425,24 +425,48 @@ def resolve_overlap_gap_resumable(
 # ---------------------------------------------------------------------------
 # cross-signature small-face dissolve (reference JT6 across cell borders:
 # function_01_do_remove_small_areas_no_block.sql:52-93 applied after the
-# master merge).  The per-tile overlay dissolves small INTERIOR faces;
-# faces that were border pieces only become final in the stitch, where
-# their longest-boundary neighbour may carry a different coverage
-# signature and therefore lives in a different stitch group.  This pass
-# runs over the FINAL face set: neighbours discover each other by shared
-# boundary segments (one shuffle), each small face picks the non-small
-# neighbour with the longest shared boundary (reference's longest-edge
-# rule), and merge groups cancel the shared boundary and re-polygonize
-# (second shuffle).  Iterated ``rounds`` times so chains of small faces
-# drain into their eventual absorber.
+# master merge, looped to fixpoint).  The per-tile overlay dissolves small
+# INTERIOR faces; faces that were border pieces only become final in the
+# stitch, where their longest-boundary neighbour may carry a different
+# coverage signature and therefore lives in a different stitch group.
+#
+# Scale shape (round-3 rework): the face set is materialized ONCE (with a
+# uid + small column attached), and the face-adjacency EDGE table — one row
+# per (small face, neighbour) boundary-sharing pair, built from one
+# segment-key shuffle — is built ONCE.  Every later round only RELABELS the
+# edge table through a broadcast uid-remap (absorbed uid -> merged uid) and
+# merges the involved faces (a tiny fraction); no full-dataset pass or
+# materialization happens per round.  The loop runs to FIXPOINT (no merge
+# performed), capped at ``rounds``; area strictly grows on every merge so
+# the loop terminates.
+#
+# Known approximation inherited from the degenerate-merge fallback: when a
+# merge group fails to re-polygonize, the target's original geometry is
+# kept (as before) while the edge relabel still credits the absorbed
+# members' boundaries to it — only reachable on non-planar input that the
+# noding quarantine already flags.
 # ---------------------------------------------------------------------------
 
 
-def dissolve_small_faces(stitched, grid, utm: bool, min_area: float, rounds: int = 3,
-                         n_buckets: int = 499):
+def _compress_remap(rm: dict) -> None:
+    """Path-compress uid aliases so every entry points at a LIVE uid (or
+    the universe sentinel).  Identity entries (failed-merge fallback keeps
+    the target's geometry, hence its uid) terminate the walk."""
+    for old in list(rm):
+        live, sm = rm[old]
+        seen = {old}
+        while live in rm and live not in seen and rm[live][0] != live:
+            seen.add(live)
+            live, sm = rm[live]
+        rm[old] = (live, sm)
+
+
+def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
+                         rounds: int = 100, n_buckets: int = 499):
     import hashlib
 
     import pandas as pd
+    import ray as _ray
 
     from .. import stages as st_mod
     from ..geom import core, noding, polygonize
@@ -455,17 +479,32 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float, rounds: int
             return core.planar_area(rings, grid.precision)
         return core.geodesic_area(rings, grid.origin_x, grid.origin_y, grid.precision)
 
+    # ---- pass 0: uid + small columns; the ONE full materialize -----------
+    def add_uid(t: pa.Table) -> pa.Table:
+        rings_col = t["rings"].to_pylist()
+        uids = [hashlib.md5(b).hexdigest()[:16] for b in rings_col]
+        small = []
+        for b in rings_col:
+            rings, _ = st_mod.unpack_rings(b)
+            small.append(measure(rings) < min_area)
+        return t.append_column("uid", pa.array(uids, pa.string())).append_column(
+            "small", pa.array(small, pa.bool_())
+        )
+
+    base = stitched.map_batches(add_uid, batch_format="pyarrow").materialize()
+
+    # ---- pass 1: adjacency edges, built once -----------------------------
     def seg_rows(t: pa.Table) -> pa.Table:
-        """One row per boundary segment: (bucket, packed seg key, uid,
-        small, len) — fully vectorized per face; keys are two packed int64s
-        (coords < 2^28 so x<<31|y is collision-free) and HASH-BUCKETED so
-        each Ray group handles thousands of segments vectorized."""
+        """One row per boundary segment of a face: (bucket, packed seg key,
+        uid, small, len) — keys are two packed int64s (coords < 2^28 so
+        x<<31|y is collision-free) and HASH-BUCKETED so each Ray group
+        handles thousands of segment keys vectorized."""
         uids_l, small_l, k1_l, k2_l, ln_l = [], [], [], [], []
         rings_col = t["rings"].to_pylist()
+        uid_col = t["uid"].to_pylist()
+        small_col = t["small"].to_pylist()
         for i in range(len(t)):
             rings, _ = st_mod.unpack_rings(rings_col[i])
-            uid = hashlib.md5(rings_col[i]).hexdigest()[:16]
-            small = measure(rings) < min_area
             for r in rings:
                 nxt = np.roll(r, -1, axis=0)
                 fl = (r[:, 0] > nxt[:, 0]) | ((r[:, 0] == nxt[:, 0]) & (r[:, 1] > nxt[:, 1]))
@@ -476,8 +515,8 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float, rounds: int
                 k1 = (a_[keep, 0] << np.int64(31)) | a_[keep, 1]
                 k2 = (b_[keep, 0] << np.int64(31)) | b_[keep, 1]
                 n_ = int(keep.sum())
-                uids_l.append(np.full(n_, uid, dtype=object))
-                small_l.append(np.full(n_, small, dtype=bool))
+                uids_l.append(np.full(n_, uid_col[i], dtype=object))
+                small_l.append(np.full(n_, small_col[i], dtype=bool))
                 k1_l.append(k1)
                 k2_l.append(k2)
                 ln_l.append(ln[keep])
@@ -489,8 +528,7 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float, rounds: int
             })
         k1 = np.concatenate(k1_l)
         k2 = np.concatenate(k2_l)
-        sb = ((k1 * np.int64(2654435761) + k2) % np.int64(n_buckets)).astype(np.int32)
-        sb = np.abs(sb)
+        sb = np.abs(((k1 * np.int64(2654435761) + k2) % np.int64(n_buckets)).astype(np.int32))
         return pa.table(
             {
                 "sb": pa.array(sb, pa.int32()),
@@ -502,184 +540,317 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float, rounds: int
             }
         )
 
-    import zlib as _zlib
+    # the empty uid is the UNIVERSE sentinel: a boundary segment shared
+    # with no other face borders the (dropped) universe or a non-kept
+    # region — both absorbing sinks, exactly like the overlay's
+    # _merge_small_faces and the reference's ST_RemEdgeNewFace against
+    # face 0 (the polygon is deleted from the coverage)
+    UNIV = ""
 
-    def zlib_crc(s_: str) -> int:
-        return _zlib.crc32(s_.encode())
-
-    def neighbor_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """Per bucket: vectorized over its many segment groups — emit
-        (small_uid, nbr_uid, nbr_small, len) for segments shared by a small
-        face and any other face."""
-        out = []
+    def edge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        """Per segment-key bucket: aggregate to face-adjacency edge rows
+        (ua < ub, flags, shared len).  Only segments with >= 1 small side
+        matter — merged faces only ever inherit edges of their members, and
+        every member of a merge group was small or adjacent to one."""
+        out_a, out_b, out_sa, out_sb, out_ln = [], [], [], [], []
         for _, idx in g.groupby(["k1", "k2"]).indices.items():
             sub = g.iloc[idx]
-            if not sub["small"].any() or len(sub) < 2:
+            if not sub["small"].any():
                 continue
             rows = sub[["uid", "small", "seg_len"]].drop_duplicates("uid")
-            if len(rows) < 2:
-                continue
             ln = float(rows["seg_len"].iloc[0])
             us = rows["uid"].tolist()
             sm = rows["small"].tolist()
+            if len(rows) == 1:
+                # frontier segment of a small face: the other side is the
+                # universe sink
+                out_a.append(UNIV); out_b.append(us[0])
+                out_sa.append(False); out_sb.append(True)
+                out_ln.append(ln)
+                continue
             for a in range(len(us)):
-                if not sm[a]:
-                    continue
-                for b in range(len(us)):
-                    if a == b:
+                for b in range(a + 1, len(us)):
+                    if not (sm[a] or sm[b]):
                         continue
-                    out.append((us[a], us[b], sm[b], ln))
-        if not out:
-            return pd.DataFrame({"small_uid": [], "nbr_uid": [], "nbr_small": [], "seg_len": []})
-        return pd.DataFrame(out, columns=["small_uid", "nbr_uid", "nbr_small", "seg_len"])
+                    ua, ub = us[a], us[b]
+                    sa, sb_ = sm[a], sm[b]
+                    if ub < ua:
+                        ua, ub, sa, sb_ = ub, ua, sb_, sa
+                    out_a.append(ua)
+                    out_b.append(ub)
+                    out_sa.append(sa)
+                    out_sb.append(sb_)
+                    out_ln.append(ln)
+        df = pd.DataFrame({"ua": out_a, "ub": out_b, "sa": out_sa,
+                           "sb_": out_sb, "seg_len": out_ln})
+        if len(df):
+            df = df.groupby(["ua", "ub"], as_index=False).agg(
+                sa=("sa", "first"), sb_=("sb_", "first"), seg_len=("seg_len", "sum")
+            )
+        return df[["ua", "ub", "sa", "sb_", "seg_len"]]
+
+    edges = (
+        base.map_batches(seg_rows, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(edge_rows, batch_format="pandas")
+        .materialize()
+    )
+
+    import zlib as _zlib
 
     def choose_targets(g: pd.DataFrame) -> pd.DataFrame:
-        """Per bucket of small_uids: longest-total-shared-boundary neighbour.
-        Prefer non-small targets; a small target is allowed only when its
-        uid is SMALLER than the absorbed face's (no 2-cycles: the
-        smaller-uid face never points back at a larger one)."""
+        """Per bucket of small_uids: the neighbour (universe included) with
+        the longest TOTAL shared boundary wins, ties by uid ascending —
+        the reference's longest-edge rule generalized to total length.
+        Cycles among mutually-preferring small faces are broken
+        driver-side (the driver holds the full target map anyway)."""
         out_s, out_t = [], []
         for su, idx in g.groupby("small_uid").indices.items():
             sub = g.iloc[idx]
-            acc = sub.groupby(["nbr_uid", "nbr_small"], as_index=False)["seg_len"].sum()
-            ns = acc[~acc["nbr_small"]]
-            if len(ns):
-                best = ns.sort_values(["seg_len", "nbr_uid"], ascending=[False, True]).iloc[0]
-            else:
-                sm = acc[acc["nbr_small"] & (acc["nbr_uid"] < su)]
-                if not len(sm):
-                    continue
-                best = sm.sort_values(["seg_len", "nbr_uid"], ascending=[False, True]).iloc[0]
+            acc = sub.groupby("nbr_uid", as_index=False)["seg_len"].sum()
+            best = acc.sort_values(["seg_len", "nbr_uid"], ascending=[False, True]).iloc[0]
             out_s.append(su)
             out_t.append(best["nbr_uid"])
         return pd.DataFrame({"small_uid": out_s, "target_uid": out_t})
 
-    faces = stitched
-    for _ in range(max(1, rounds)):
-        tagged = faces.map_batches(seg_rows, batch_format="pyarrow")
-        pairs = tagged.groupby("sb").map_groups(neighbor_pairs, batch_format="pandas")
+    # driver-side per-round state — all bounded by the number of SMALL
+    # faces ever seen (<< output size; same order as the reference's
+    # small-area work queue), never by the face count:
+    #   remap:     absorbed uid -> (live uid, live small flag)
+    #   table_of:  live merged uid -> index into merged_tables
+    #   kills:     per-source-table uids whose row was superseded
+    remap: dict[str, tuple[str, bool]] = {}
+    merged_tables: list = []
+    table_of: dict[str, int] = {}
+    kills: list[set] = [set()]  # kills[0] = base; kills[i+1] = merged_tables[i]
 
-        def add_tb(t: pa.Table) -> pa.Table:
-            tb = [zlib_crc(u) % n_buckets for u in t["small_uid"].to_pylist()]
-            return t.append_column("tb", pa.array(tb, pa.int32()))
-
-        targets = (
-            pairs.map_batches(add_tb, batch_format="pyarrow")
-            .groupby("tb")
-            .map_groups(choose_targets, batch_format="pandas")
-            .to_pandas()
-        )
-        if len(targets) == 0:
-            break
-        # the target map is small (one entry per surviving small face):
-        # broadcast once via the object store, like the tiling cut
-        import ray as _ray
-
-        tmap = dict(zip(targets["small_uid"], targets["target_uid"]))
-        involved = frozenset(tmap) | frozenset(tmap.values())
-        tmap_ref = _ray.put(tmap)
-        inv_ref = _ray.put(involved)
-
-        def key_rows(t: pa.Table) -> pa.Table:
-            import hashlib as _h
-
-            import ray as _r
-
-            tm = _r.get(tmap_ref)
-            inv = _r.get(inv_ref)
-            uids = [_h.md5(b).hexdigest()[:16] for b in t["rings"].to_pylist()]
-            grp = [tm.get(u, u) for u in uids]
-            flag = [u in inv for u in uids]
-            return (
-                t.append_column("merge_key", pa.array(grp, pa.string()))
-                .append_column("own_uid", pa.array(uids, pa.string()))
-                .append_column("involved", pa.array(flag, pa.bool_()))
-            )
-        def merge_group(g: pa.Table) -> pa.Table:
-            if len(g) == 1:
-                return g.drop_columns(["merge_key", "own_uid"])
-            mk = g["merge_key"][0].as_py()
-            own = [g["own_uid"][i].as_py() for i in range(len(g))]
-            try:
-                tgt = own.index(mk)
-            except ValueError:
-                # target itself was absorbed elsewhere this round: retry next
-                return g.drop_columns(["merge_key", "own_uid"])
-            seg_list = []
-            rings_col = g["rings"].to_pylist()
-            for i in range(len(g)):
-                rings, _ = st_mod.unpack_rings(rings_col[i])
-                for r in rings:
-                    nxt = np.roll(r, -1, axis=0)
-                    seg_list.append(np.concatenate([r, nxt], axis=1))
-            segs = np.concatenate(seg_list)
-            flip = (segs[:, 0] > segs[:, 2]) | ((segs[:, 0] == segs[:, 2]) & (segs[:, 1] > segs[:, 3]))
-            canon = segs.copy()
-            canon[flip] = canon[flip][:, [2, 3, 0, 1]]
-            order = np.lexsort((canon[:, 3], canon[:, 2], canon[:, 1], canon[:, 0]))
-            canon_s = canon[order]
-            same = np.r_[False, np.all(canon_s[1:] == canon_s[:-1], axis=1)]
-            run = np.cumsum(~same)
-            cnt = np.zeros(run.max() + 1, np.int64)
-            np.add.at(cnt, run, 1)
-            kept = canon_s[cnt[run] == 1]
-            labels = [frozenset([(0, 1)])] * len(kept)
-            segs2, labels2 = noding.node_segments(kept, labels)
-            arr = polygonize.polygonize(segs2, labels2)
-            best_rings = None
-            for f in arr.faces:
-                if best_rings is None or f.area2 > best_rings[0]:
-                    best_rings = (f.area2, [f.shell] + f.holes)
-            if best_rings is None:
-                return g.take(pa.array([tgt], pa.int64())).drop_columns(["merge_key", "own_uid"])
+    def merge_group(g: pa.Table) -> pa.Table:
+        mk = g["merge_key"][0].as_py()
+        own = [g["uid"][i].as_py() for i in range(len(g))]
+        try:
+            tgt = own.index(mk)
+        except ValueError:
+            # defensive (unreachable: targets are live): emit nothing so
+            # the absorbers stay live and simply retry next round
+            return g.slice(0, 0)
+        seg_list = []
+        rings_col = g["rings"].to_pylist()
+        for i in range(len(g)):
+            rings, _ = st_mod.unpack_rings(rings_col[i])
+            for r in rings:
+                nxt = np.roll(r, -1, axis=0)
+                seg_list.append(np.concatenate([r, nxt], axis=1))
+        segs = np.concatenate(seg_list)
+        flip = (segs[:, 0] > segs[:, 2]) | ((segs[:, 0] == segs[:, 2]) & (segs[:, 1] > segs[:, 3]))
+        canon = segs.copy()
+        canon[flip] = canon[flip][:, [2, 3, 0, 1]]
+        order = np.lexsort((canon[:, 3], canon[:, 2], canon[:, 1], canon[:, 0]))
+        canon_s = canon[order]
+        same = np.r_[False, np.all(canon_s[1:] == canon_s[:-1], axis=1)]
+        run = np.cumsum(~same)
+        cnt = np.zeros(run.max() + 1, np.int64)
+        np.add.at(cnt, run, 1)
+        kept = canon_s[cnt[run] == 1]
+        labels = [frozenset([(0, 1)])] * len(kept)
+        segs2, labels2 = noding.node_segments(kept, labels)
+        arr = polygonize.polygonize(segs2, labels2)
+        best_rings = None
+        for f in arr.faces:
+            if best_rings is None or f.area2 > best_rings[0]:
+                best_rings = (f.area2, [f.shell] + f.holes)
+        out = g.take(pa.array([tgt], pa.int64())).drop_columns(["merge_key"])
+        if best_rings is not None:
             new_rings = st_mod.pack_rings(best_rings[1])
-            out = g.take(pa.array([tgt], pa.int64())).drop_columns(["merge_key", "own_uid"])
             out = out.set_column(out.schema.get_field_index("rings"), "rings",
                                  pa.array([new_rings], pa.large_binary()))
             out = out.set_column(out.schema.get_field_index("area2"), "area2",
                                  pa.array([int(best_rings[0])], pa.int64()))
-            # re-attribute over the merged coverage ledger — the same
-            # area-weighted >50% rule the overlay applies when it dissolves
-            # interior small faces (JT6 then JT7 order in the reference)
-            from ..geom import arrangement as arr_mod
+        # re-attribute over the merged coverage ledger — the same
+        # area-weighted >50% rule the overlay applies when it dissolves
+        # interior small faces (JT6 then JT7 order in the reference)
+        from ..geom import arrangement as arr_mod
 
-            ledger = [
-                (int(g["area2"][i].as_py()),
-                 frozenset(int(c) for c in (g["cov"][i].as_py() or [])))
-                for i in range(len(g))
-            ]
-            winner, others = arr_mod.attribution(ledger)
-            out = out.set_column(out.schema.get_field_index("winner_pk"), "winner_pk",
-                                 pa.array([-1 if winner is None else int(winner)], pa.int64()))
-            out = out.set_column(out.schema.get_field_index("others"), "others",
-                                 pa.array([[int(o) for o in others]], pa.list_(pa.int64())))
-            iv = all(bool(g["is_valid"][i].as_py()) for i in range(len(g)))
-            out = out.set_column(out.schema.get_field_index("is_valid"), "is_valid",
-                                 pa.array([iv], pa.bool_()))
-            return out
+        ledger = [
+            (int(g["area2"][i].as_py()),
+             frozenset(int(c) for c in (g["cov"][i].as_py() or [])))
+            for i in range(len(g))
+        ]
+        winner, others = arr_mod.attribution(ledger)
+        out = out.set_column(out.schema.get_field_index("winner_pk"), "winner_pk",
+                             pa.array([-1 if winner is None else int(winner)], pa.int64()))
+        out = out.set_column(out.schema.get_field_index("others"), "others",
+                             pa.array([[int(o) for o in others]], pa.list_(pa.int64())))
+        iv = all(bool(g["is_valid"][i].as_py()) for i in range(len(g)))
+        out = out.set_column(out.schema.get_field_index("is_valid"), "is_valid",
+                             pa.array([iv], pa.bool_()))
+        # fresh identity for the merged face
+        new_buf = out["rings"][0].as_py()
+        new_uid = hashlib.md5(new_buf).hexdigest()[:16]
+        new_rs, _ = st_mod.unpack_rings(new_buf)
+        new_small = measure(new_rs) < min_area
+        out = out.set_column(out.schema.get_field_index("uid"), "uid",
+                             pa.array([new_uid], pa.string()))
+        out = out.set_column(out.schema.get_field_index("small"), "small",
+                             pa.array([new_small], pa.bool_()))
+        return out.append_column("merge_key", pa.array([mk], pa.string()))
 
-        merge_group.__name__ = "dissolve_merge"
-        # only faces participating in a merge go through the (per-group)
-        # merge shuffle; everything else bypasses — the involved set is a
-        # tiny fraction, so this keeps the groupby at hundreds of groups
-        # instead of one group per output face
-        tagged = faces.map_batches(key_rows, batch_format="pyarrow").materialize()
+    merge_group.__name__ = "dissolve_merge"
 
-        def keep_involved(t: pa.Table) -> pa.Table:
-            return t.filter(t["involved"])
+    def live_faces(with_kills=True):
+        parts = []
+        for i, tbl in enumerate([base] + merged_tables):
+            kill = kills[i]
+            if with_kills and kill:
+                kref = _ray.put(frozenset(kill))
 
-        def keep_rest(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+                def drop(t: pa.Table, _k=kref) -> pa.Table:
+                    ks = _ray.get(_k)
+                    mask = pa.array([u not in ks for u in t["uid"].to_pylist()])
+                    return t.filter(mask)
 
-            return t.filter(pc.invert(t["involved"])).drop_columns(
-                ["merge_key", "own_uid", "involved"]
-            )
+                parts.append(tbl.map_batches(drop, batch_format="pyarrow"))
+            else:
+                parts.append(tbl)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
 
-        merged = (
-            tagged.map_batches(keep_involved, batch_format="pyarrow")
-            .map_batches(lambda t: t.drop_columns(["involved"]), batch_format="pyarrow")
+    for _ in range(max(1, rounds)):
+        rm_ref = _ray.put(dict(remap))
+
+        def relabel(t: pa.Table) -> pa.Table:
+            """Edge rows through the cumulative remap -> per-small candidate
+            rows (small_uid, nbr_uid, nbr_small, seg_len), bucketed."""
+            rm = _ray.get(rm_ref)
+            ua = t["ua"].to_pylist()
+            ub = t["ub"].to_pylist()
+            sa = t["sa"].to_pylist()
+            sb_ = t["sb_"].to_pylist()
+            ln = t["seg_len"].to_pylist()
+            out_s, out_n, out_ns, out_ln, out_tb = [], [], [], [], []
+            for i in range(len(ua)):
+                a, fa = rm.get(ua[i], (ua[i], sa[i]))
+                b, fb = rm.get(ub[i], (ub[i], sb_[i]))
+                if a == b:  # edge became interior to a merged face
+                    continue
+                if fa:
+                    out_s.append(a); out_n.append(b); out_ns.append(fb)
+                    out_ln.append(ln[i])
+                    out_tb.append(_zlib.crc32(a.encode()) % n_buckets)
+                if fb:
+                    out_s.append(b); out_n.append(a); out_ns.append(fa)
+                    out_ln.append(ln[i])
+                    out_tb.append(_zlib.crc32(b.encode()) % n_buckets)
+            return pa.table({
+                "tb": pa.array(out_tb, pa.int32()),
+                "small_uid": pa.array(out_s, pa.string()),
+                "nbr_uid": pa.array(out_n, pa.string()),
+                "nbr_small": pa.array(out_ns, pa.bool_()),
+                "seg_len": pa.array(out_ln, pa.float64()),
+            })
+
+        targets = (
+            edges.map_batches(relabel, batch_format="pyarrow")
+            .groupby("tb")
+            .map_groups(choose_targets, batch_format="pandas")
+            .to_pandas()  # one row per surviving small face (bounded)
+        )
+        if len(targets) == 0:
+            break
+        tmap = dict(zip(targets["small_uid"], targets["target_uid"]))
+
+        def _kill(u: str) -> None:
+            kills[(table_of[u] + 1) if u in table_of else 0].add(u)
+
+        # universe-absorbed faces are DELETED from the coverage
+        # (reference: ST_RemEdgeNewFace against face 0)
+        deleted = {u for u, tg in tmap.items() if tg == UNIV}
+        for u in deleted:
+            tmap.pop(u)
+            _kill(u)
+            remap[u] = (UNIV, False)
+        # faces that targeted a now-deleted neighbour re-choose next round
+        # (their universe share grows by the shared boundary)
+        for u in [u for u, tg in tmap.items() if tg in deleted]:
+            tmap.pop(u)
+        if deleted:
+            _compress_remap(remap)
+        # break cycles in the functional target graph: the minimal-uid
+        # member of each cycle retries next round, when its neighbours
+        # have become merge products
+        color: dict[str, int] = {}
+        for u0 in list(tmap):
+            path, x = [], u0
+            while x in tmap and color.get(x, 0) == 0:
+                color[x] = 1
+                path.append(x)
+                x = tmap[x]
+            if x in tmap and color.get(x) == 1:
+                cyc, y = [x], tmap[x]
+                while y != x:
+                    cyc.append(y)
+                    y = tmap[y]
+                tmap.pop(min(cyc))
+            for p in path:
+                color[p] = 2
+        # every chain in the (now acyclic) graph ends at a live target,
+        # so tmap non-empty => at least one merge this round
+        live_targets = {t for t in tmap.values() if t not in tmap}
+        groups: dict[str, list[str]] = {mk: [] for mk in live_targets}
+        for u, tg in tmap.items():
+            if tg in live_targets:
+                groups[tg].append(u)
+        if not groups:
+            if not deleted:
+                break
+            continue  # only deletions this round; re-derive targets
+        involved = frozenset(live_targets) | frozenset(
+            u for us in groups.values() for u in us
+        )
+        inv_ref = _ray.put(involved)
+        tmap_ref = _ray.put({u: tg for u, tg in tmap.items() if tg in live_targets})
+
+        def pick(t: pa.Table) -> pa.Table:
+            inv = _ray.get(inv_ref)
+            tm = _ray.get(tmap_ref)
+            uids = t["uid"].to_pylist()
+            mask = pa.array([u in inv for u in uids])
+            t = t.filter(mask)
+            mk = [tm.get(u, u) for u in t["uid"].to_pylist()]
+            return t.append_column("merge_key", pa.array(mk, pa.string()))
+
+        merged_new = (
+            live_faces().map_batches(pick, batch_format="pyarrow")
             .groupby("merge_key")
             .map_groups(merge_group, batch_format="pyarrow")
+            .materialize()  # tiny: one row per merge group
         )
-        faces = tagged.map_batches(keep_rest, batch_format="pyarrow").union(merged)
-    return faces
+        # driver pull of (merge_key, uid, small) — merged-output-sized only
+        info = merged_new.select_columns(["merge_key", "uid", "small"]).take_all()
+        new_of = {r["merge_key"]: (r["uid"], bool(r["small"])) for r in info}
+
+        # retire ONLY the rows of groups that actually merged, and point
+        # every old uid (transitively) at the merge product
+        for mk, (nu, nsm) in new_of.items():
+            for u in groups[mk] + [mk]:
+                _kill(u)
+                remap[u] = (nu, nsm)
+            table_of[nu] = len(merged_tables)
+        _compress_remap(remap)
+        kills.append(set())
+        merged_tables.append(
+            merged_new.map_batches(
+                lambda t: t.drop_columns(["merge_key"]), batch_format="pyarrow"
+            ).materialize()
+        )
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dissolve_small_faces: fixpoint not reached within %d rounds", rounds
+        )
+
+    return live_faces().map_batches(
+        lambda t: t.drop_columns(["uid", "small"]), batch_format="pyarrow"
+    )

@@ -19,3 +19,12 @@ def ray_session():
         )
     yield
     ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def golden_hashes():
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden_hashes.json")
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,201 @@
+"""Regression tests for the round-2 verdict findings.
+
+1. Small-face dissolve runs to FIXPOINT: a chain of small slivers longer
+   than the old fixed round count drains completely into its eventual
+   absorber, and the only residual sub-min_area faces are ones with no
+   absorbable neighbour (frontier faces bordering only the universe).
+2. Golden value-hash pins for the no-oracle geometry queries, so a
+   regression in the rows-only entries becomes visible without DuckDB.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _geodesic_area_of(wkb_bytes):
+    from rogray.geom import wkb as wkb_mod
+
+    rings = wkb_mod.decode_polygon_rings(wkb_bytes)
+    # shoelace in degrees scaled to metres at the ring's latitude (test
+    # scale only needs relative comparisons vs min_area)
+    tot = 0.0
+    for k, r in enumerate(rings):
+        x = r[:, 0] * 111320.0 * np.cos(np.radians(r[:, 1].mean()))
+        y = r[:, 1] * 111132.0
+        a = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        tot += a if k == 0 else -a
+    return tot
+
+
+class TestDissolveUnit:
+    """dissolve_small_faces in isolation, on hand-built stitched faces:
+    a chain of small slivers longer than the old fixed round count must
+    drain fully into the big absorber (fixpoint), and small faces whose
+    LONGEST boundary is the universe are deleted from the coverage
+    (reference: ST_RemEdgeNewFace against face 0)."""
+
+    def _rect(self, x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.int64)
+
+    def _face(self, rings, pk):
+        from rogray import stages
+
+        a2 = 0
+        for k, r in enumerate(rings):
+            x, y = r[:, 0].astype(float), r[:, 1].astype(float)
+            s = np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
+            a2 += abs(s) if k == 0 else -abs(s)
+        return {
+            "tile": 0, "stitch_key": "g", "kind": 0,
+            "rings": stages.pack_rings(list(rings)),
+            "cov": [pk], "winner_pk": pk, "others": [],
+            "is_valid": True, "area2": int(round(a2)),
+        }
+
+    def test_chain_drains_and_universe_absorbs(self, ray_session):
+        import ray.data as rd
+
+        from rogray import stages
+        from rogray.config import GridConfig
+        from rogray.pipelines.resolve import dissolve_small_faces
+
+        # faces must be NODED like real stitched output: shared borders
+        # are segment-identical, so big's boundary carries the split
+        # points where the sliver chain and the strip attach
+        big_ring = np.array(
+            [[0, 0], [100, 0], [100, 40], [100, 60], [100, 100],
+             [10, 100], [0, 100]], dtype=np.int64)
+        rows = [self._face([big_ring], 1)]                          # area 10000
+        for i in range(8):                                          # slivers: 40 each
+            x0 = 100 + 2 * i
+            rows.append(self._face([self._rect(x0, 40, x0 + 2, 60)], 10 + i))
+        rows.append(self._face([self._rect(200, 200, 205, 205)], 30))  # island: 25
+        # strip whose longest boundary is the universe (16) not big (10)
+        rows.append(self._face([self._rect(0, 100, 10, 103)], 40))
+
+        grid = GridConfig(origin_x=0.0, origin_y=0.0, span=1024.0, precision=1.0)
+        ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=stages.FACE_SCHEMA))
+        out = dissolve_small_faces(ds, grid, utm=True, min_area=50.0).to_pandas()
+
+        # fixpoint: NO sub-min_area face survives anywhere (every face has
+        # at least the universe as an absorbable neighbour)
+        assert int((out["area2"] < 2 * 50).sum()) == 0
+        # island and the universe-preferring strip were deleted from the
+        # coverage (reference: ST_RemEdgeNewFace against face 0)
+        assert 30 not in set(out["winner_pk"]) and 40 not in set(out["winner_pk"])
+        # the big face survives; sliver mass either merged into a face or
+        # eroded from the free end — never duplicated
+        big = out[out["winner_pk"] == 1]
+        assert len(big) == 1
+        assert int(out["area2"].sum()) <= 2 * (10000 + 8 * 40)
+        assert int(big["area2"].iloc[0]) >= 2 * 10000
+
+    def test_no_small_faces_no_op(self, ray_session):
+        import ray.data as rd
+
+        from rogray import stages
+        from rogray.config import GridConfig
+        from rogray.pipelines.resolve import dissolve_small_faces
+
+        rows = [self._face([self._rect(0, 0, 100, 100)], 1),
+                self._face([self._rect(100, 0, 200, 100)], 2)]
+        grid = GridConfig(origin_x=0.0, origin_y=0.0, span=1024.0, precision=1.0)
+        ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=stages.FACE_SCHEMA))
+        out = dissolve_small_faces(ds, grid, utm=True, min_area=50.0).to_pandas()
+        assert len(out) == 2
+        assert sorted(out["winner_pk"]) == [1, 2]
+
+
+class TestDissolveFixpoint:
+    def _docs(self):
+        from rogray import spans as spans_mod
+        from rogray.geom import wkb
+
+        def rect(x0, y0, x1, y1):
+            return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+
+        span_lists, ids = [], []
+        # big absorber
+        span_lists.append(
+            [("geometry", wkb.encode_polygon([rect(5.0, 58.5, 5.3, 58.8)]).hex(), "", 0)]
+        )
+        ids.append("big")
+        # chain of 8 thin slivers off the big rect's right edge, each far
+        # below min_area; they must drain into the big face no matter how
+        # many rounds the chain takes (old code capped at 3)
+        w = 0.002
+        for i in range(8):
+            x0 = 5.3 + i * w
+            span_lists.append(
+                [("geometry", wkb.encode_polygon([rect(x0, 58.6, x0 + w, 58.65)]).hex(), "", 0)]
+            )
+            ids.append(f"sliver{i}")
+        # isolated small square far away: borders only the universe, so it
+        # has NO absorbable neighbour and must survive as the one residual
+        span_lists.append(
+            [("geometry", wkb.encode_polygon([rect(6.5, 58.0, 6.51, 58.01)]).hex(), "", 0)]
+        )
+        ids.append("island")
+        return pa.table(
+            {"doc_id": pa.array(ids), "spans": spans_mod.make_spans_column(span_lists)}
+        )
+
+    def test_chain_drains_and_residuals_have_no_neighbour(self, ray_session):
+        import ray.data as rd
+
+        from rogray.config import CleanConfig, ResolveConfig, TopologyConfig
+        from rogray.pipelines import resolve
+
+        min_area = 2_000_000.0
+        df = resolve.resolve_overlap_gap(
+            rd.from_arrow(self._docs()),
+            ResolveConfig(
+                topology=TopologyConfig(
+                    snap_tolerance=1e-5, max_rows_in_each_cell=4, base_level=1
+                ),
+                clean=CleanConfig(min_area_to_keep=min_area),
+            ),
+        ).to_pandas()
+
+        # the sliver chain either merged into the big face or eroded from
+        # its free end into the universe; the island (bordering only the
+        # universe) was deleted — NO sub-min_area face survives anywhere
+        assert int((df["area"] < min_area).sum()) == 0
+        big = df[df["doc_id"] == "big"]
+        assert len(big) == 1 and len(df) == 1
+        assert float(big["area"].iloc[0]) >= 5.78e8  # at least the bare rect
+
+
+class TestGoldenHashes:
+    """Value-hash pins (driver hash algorithm) for rows-only queries at
+    sf0.001 defaults.  If geometry/attribution semantics drift, these
+    change and the regression is visible without a DuckDB oracle."""
+
+    def _hash(self, obj):
+        import sys
+
+        sys.path.insert(0, "tools")
+        from check_oracles import to_pandas, value_hash
+
+        return value_hash(to_pandas(obj))
+
+    def test_face_attributes_pinned(self, ray_session, golden_hashes):
+        import __ray_entry__ as entry
+
+        q = entry.queries()["face_attributes"]
+        h = self._hash(q("/root/testdata/sf0.001"))
+        assert h == golden_hashes["face_attributes"]
+
+    def test_edge_attributes_pinned(self, ray_session, golden_hashes):
+        import __ray_entry__ as entry
+
+        q = entry.queries()["edge_attributes"]
+        h = self._hash(q("/root/testdata/sf0.001"))
+        assert h == golden_hashes["edge_attributes"]
+
+    def test_find_overlap_gap_pinned(self, ray_session, golden_hashes):
+        import __ray_entry__ as entry
+
+        q = entry.queries()["find_overlap_gap"]
+        h = self._hash(q("/root/testdata/sf0.001"))
+        assert h == golden_hashes["find_overlap_gap"]
