@@ -119,29 +119,35 @@ def _q_tiling(sf_dir: str):
 
 
 def _q_pip_join(sf_dir: str):
-    """Point-in-polygon join: polygon centroids vs the polygon layer."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    import ray.data as rd
+    """Point-in-polygon join: polygon centroids vs the polygon layer.
 
-    from rogray import sources
+    The query points are derived INSIDE the pipeline (map_batches over the
+    document table) — no driver-side read of the input, so the harness
+    wrapper streams like the operator itself."""
+    import pyarrow as pa
+
     from rogray import spans as spans_mod
     from rogray.geom import wkb
     from rogray.spatial_query import point_in_polygon_join
 
-    n = max(64, int(sources.scale_rows(sf_dir) * 0.1))
-    t = pq.read_table(sources.docs_path_for(sf_dir, n))
-    wkbs = spans_mod.extract_geometry_wkb(t["spans"])
-    xs, ys, ids = [], [], []
-    for i, wb in enumerate(wkbs):
-        rings = wkb.decode_polygon_rings(wb)
-        c = rings[0].mean(axis=0)
-        xs.append(float(c[0]))
-        ys.append(float(c[1]))
-        ids.append(i)
-    pts = rd.from_arrow(
-        pa.table({"point_id": pa.array(ids, pa.int64()), "x": xs, "y": ys})
-    )
+    def centroids(t: pa.Table) -> pa.Table:
+        wkbs = spans_mod.extract_geometry_wkb(t["spans"])
+        ids, xs, ys = [], [], []
+        for did, wb in zip(t["doc_id"].to_pylist(), wkbs):
+            rings = wkb.decode_polygon_rings(wb)
+            c = rings[0].mean(axis=0)
+            ids.append(int(did))  # synth doc_ids are stringified row ids
+            xs.append(float(c[0]))
+            ys.append(float(c[1]))
+        return pa.table(
+            {
+                "point_id": pa.array(ids, pa.int64()),
+                "x": pa.array(xs, pa.float64()),
+                "y": pa.array(ys, pa.float64()),
+            }
+        )
+
+    pts = _geo_docs(sf_dir).map_batches(centroids, batch_format="pyarrow")
     return point_in_polygon_join(pts, _geo_docs(sf_dir), _geo_cfg())
 
 
