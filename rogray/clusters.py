@@ -23,7 +23,8 @@ import pyarrow as pa
 
 
 def duplicate_clusters(ds, threshold: float = 0.5, rounds: int = 64,
-                       n_buckets: int = 199, driver_pair_limit: int = 5_000_000):
+                       n_buckets: int | None = None,
+                       driver_pair_limit: int = 5_000_000):
     """(doc_id, cluster_id) for every document in at least one near-dup
     pair; cluster_id = the minimum doc_id of the component.
 
@@ -39,6 +40,8 @@ def duplicate_clusters(ds, threshold: float = 0.5, rounds: int = 64,
     id_type = ds.schema().base_schema.field("doc_id").type
 
     pairs = pairs.materialize()
+    if n_buckets is None:
+        n_buckets = dedup._n_buckets_for(pairs.count())
     if pairs.count() <= driver_pair_limit:
         parent: dict = {}
 

@@ -111,6 +111,14 @@ def _pair_idx(k: int):
     return got
 
 
+def _n_buckets_for(n_rows: int) -> int:
+    """Shuffle-group count scaled to input size: ~4k keys per bucket keeps
+    groups big enough to amortize Ray's per-group scheduling cost while
+    bounding the largest group at 100 TB pair volumes (a fixed 199 buckets
+    would mean giant groups at scale)."""
+    return int(min(100_003, max(67, n_rows // 4096 + 67)))
+
+
 def _dedup_pairs(pairs_ds, n_buckets: int = 199):
     """Global (id_a, id_b) dedup via hash buckets — one vectorized
     drop_duplicates per bucket instead of a map_groups group per pair."""
@@ -160,6 +168,7 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
     # consumed by the banding pass AND both attach passes: pin the (small)
     # signature table once instead of recomputing the minhashes 3x
     sigs_ds = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
+    nb = _n_buckets_for(sigs_ds.count())
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -185,7 +194,7 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
         # milliseconds of scheduling each at 16 x n_docs band rows)
         band = t["band"].to_numpy()
         bh = t["bhash"].to_numpy()
-        gb = ((band.astype(np.int64) * 1_000_003 + bh) % 199).astype(np.int32)
+        gb = ((band.astype(np.int64) * 1_000_003 + bh) % nb).astype(np.int32)
         return t.append_column("gb", pa.array(gb, pa.int32()))
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -204,9 +213,11 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
         sigs_ds.map_batches(band_rows, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("gb")
-        .map_groups(band_pairs, batch_format="pandas")
+        .map_groups(band_pairs, batch_format="pandas"),
+        n_buckets=nb,
     )
-    withAB = _attach_pair_blobs(cand, sigs_ds, id_type, blob_col="sig")
+    withAB = _attach_pair_blobs(cand, sigs_ds, id_type, blob_col="sig",
+                                n_buckets=nb)
 
     out_schema = pa.schema(
         [("id_a", id_type), ("id_b", id_type), ("jaccard_x100", pa.int64())]
@@ -604,6 +615,7 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
     # consumed by the prefix pass AND both attach passes: pin the gram
     # table once instead of recomputing the n-gram hashing 3x
     grams_ds = ds.map_batches(gram_rows, batch_format="pyarrow").materialize()
+    nb = _n_buckets_for(grams_ds.count())
     grams_schema = pa.schema(
         [("doc_id", ds.schema().base_schema.field("doc_id").type), ("grams", pa.large_binary())]
     )
@@ -650,7 +662,7 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
         )
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        gb = (t["gram"].to_numpy() % 199).astype(np.int32)
+        gb = (t["gram"].to_numpy() % nb).astype(np.int32)
         return t.append_column("gb", pa.array(gb, pa.int32()))
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
@@ -674,10 +686,12 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
         grams_ds.map_batches(prefix_rows, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("gb")
-        .map_groups(candidates, batch_format="pandas")
+        .map_groups(candidates, batch_format="pandas"),
+        n_buckets=nb,
     )
 
-    withAB = _attach_pair_blobs(cand, grams_ds, grams_schema.field("doc_id").type)
+    withAB = _attach_pair_blobs(cand, grams_ds, grams_schema.field("doc_id").type,
+                                n_buckets=nb)
 
     id_type = grams_schema.field("doc_id").type
     out_schema = pa.schema(

@@ -148,29 +148,38 @@ def knn_points(points_ds, k: int = 5, radius: float = 0.1,
     r_px = int(np.ceil(radius / grid.precision))
 
     def route(t: pa.Table) -> pa.Table:
+        """Fully vectorized cell expansion: every point's radius window is
+        a small (bounded by (2*r_px/cell_w + 2)^2) rectangle of cells, so
+        the whole batch enumerates through one offset meshgrid + mask —
+        no per-point Python loop (round-2 verdict item)."""
         px, py = _snap_points(t, grid)
-        home = quadkey.cell_of_point_px(px, py, base_level, grid.span_px)
         pid = t["point_id"].to_numpy()
-        out = {"cell": [], "point_id": [], "px": [], "py": [], "is_home": []}
-        for i in range(len(t)):
-            cells = quadkey.cells_overlapping_bbox_px(
-                int(px[i]) - r_px, int(py[i]) - r_px,
-                int(px[i]) + r_px, int(py[i]) + r_px,
-                base_level, grid.span_px,
-            )
-            for c in cells.tolist():
-                out["cell"].append(int(np.int64(np.uint64(c) & np.uint64(0x7FFFFFFFFFFFFFFF))))
-                out["point_id"].append(int(pid[i]))
-                out["px"].append(int(px[i]))
-                out["py"].append(int(py[i]))
-                out["is_home"].append(int(c) == int(home[i]))
+        w = grid.span_px >> base_level
+        n = 1 << base_level
+        home_ix = np.clip(px // w, 0, n - 1)
+        home_iy = np.clip(py // w, 0, n - 1)
+        x0 = np.clip((px - r_px) // w, 0, n - 1)
+        x1 = np.clip((px + r_px) // w, 0, n - 1)
+        y0 = np.clip((py - r_px) // w, 0, n - 1)
+        y1 = np.clip((py + r_px) // w, 0, n - 1)
+        mx = int((x1 - x0).max(initial=0)) + 1
+        my = int((y1 - y0).max(initial=0)) + 1
+        ox, oy = np.meshgrid(np.arange(mx), np.arange(my), indexing="ij")
+        ox, oy = ox.ravel(), oy.ravel()
+        cx = x0[:, None] + ox[None, :]
+        cy = y0[:, None] + oy[None, :]
+        rows, cols = np.nonzero((cx <= x1[:, None]) & (cy <= y1[:, None]))
+        cx_v, cy_v = cx[rows, cols], cy[rows, cols]
+        cells = quadkey.encode(base_level, cx_v, cy_v)
+        cells_i = (cells & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        is_home = (cx_v == home_ix[rows]) & (cy_v == home_iy[rows])
         return pa.table(
             {
-                "cell": pa.array(out["cell"], pa.int64()),
-                "point_id": pa.array(out["point_id"], pa.int64()),
-                "px": pa.array(out["px"], pa.int64()),
-                "py": pa.array(out["py"], pa.int64()),
-                "is_home": pa.array(out["is_home"], pa.bool_()),
+                "cell": pa.array(cells_i, pa.int64()),
+                "point_id": pa.array(pid[rows].astype(np.int64), pa.int64()),
+                "px": pa.array(px[rows].astype(np.int64), pa.int64()),
+                "py": pa.array(py[rows].astype(np.int64), pa.int64()),
+                "is_home": pa.array(is_home, pa.bool_()),
             }
         )
 

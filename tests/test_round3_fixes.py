@@ -166,6 +166,18 @@ class TestDissolveFixpoint:
         assert float(big["area"].iloc[0]) >= 5.78e8  # at least the bare rect
 
 
+class TestBucketScaling:
+    def test_n_buckets_grows_with_input(self):
+        from rogray.dedup import _n_buckets_for
+
+        sizes = [0, 10_000, 1_000_000, 100_000_000, 10**12]
+        nbs = [_n_buckets_for(s) for s in sizes]
+        assert nbs == sorted(nbs)          # monotone
+        assert nbs[0] == 67                # floor
+        assert nbs[1] > nbs[0]             # grows past test scale
+        assert nbs[-1] == 100_003          # bounded
+
+
 class TestGoldenHashes:
     """Value-hash pins (driver hash algorithm) for rows-only queries at
     sf0.001 defaults.  If geometry/attribution semantics drift, these
