@@ -378,6 +378,14 @@ def resolve_overlap_gap_resumable(
     grid = plan.grid
     fp = manifest.config_fingerprint(cfg)
 
+    # phase-granular restart (reference stop_at/start_at semantics): when
+    # the stitched face set was already checkpointed for this config, the
+    # overlay AND the stitch are skipped entirely — a crash during the
+    # finalize join re-runs only the join
+    if manifest.phase_valid(out_dir, "stitched", fp):
+        stitched = manifest.checkpoint_phase(out_dir, "stitched", None, fp)
+        return _finalize_join(stitched, ds, grid, t.utm)
+
     done = manifest.completed_tiles(out_dir, fp)
     unwrapped = ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
     routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
@@ -419,6 +427,7 @@ def resolve_overlap_gap_resumable(
         stitched = dissolve_small_faces(
             stitched, grid, t.utm, cfg.clean.min_area_to_keep
         )
+    stitched = manifest.checkpoint_phase(out_dir, "stitched", stitched, fp)
     return _finalize_join(stitched, ds, grid, t.utm)
 
 

@@ -90,3 +90,68 @@ def read_all(root: str):
         if n.startswith("tile=") and os.path.isdir(os.path.join(root, n))
     ]
     return rd.read_parquet(parts)
+
+
+def phase_dir(root: str, phase: str) -> str:
+    return os.path.join(root, f"phase={phase}")
+
+
+def checkpoint_phase(root: str, phase: str, ds, cfg_fp: str):
+    """Write-once PHASE checkpoint — the reference's stop_at/start_at
+    phase-boundary restart semantics (types_resolve_overlap.sql:105-142,
+    restart regression resolve_overlap_and_gap.sql:97-186) realised as a
+    partitioned-parquet snapshot of an intermediate Dataset.
+
+    If a valid checkpoint for this config fingerprint exists, ``ds`` is
+    NOT consumed (the producing stages never run); otherwise ``ds`` is
+    streamed to disk via a distributed ``write_parquet`` (atomic: temp
+    dir + rename, manifest written last).  Returns a Dataset reading the
+    checkpoint, so everything downstream re-runs from disk on a resume.
+    """
+    import shutil
+
+    import ray.data as rd
+
+    final = phase_dir(root, phase)
+    mpath = os.path.join(final, "_PHASE.json")
+
+    def _read():
+        parts = [
+            os.path.join(final, n)
+            for n in sorted(os.listdir(final))
+            if n.endswith(".parquet")
+        ]
+        return rd.read_parquet(parts)
+
+    if os.path.exists(mpath):
+        try:
+            with open(mpath) as f:
+                m = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            m = None
+        if m and m.get("config_fp") == cfg_fp:
+            return _read()
+        shutil.rmtree(final)
+
+    tmp = final + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    ds.write_parquet(tmp)
+    with open(os.path.join(tmp, "_PHASE.json"), "w") as f:
+        json.dump(
+            {"phase": phase, "config_fp": cfg_fp, "written_at": time.time()}, f
+        )
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return _read()
+
+
+def phase_valid(root: str, phase: str, cfg_fp: str) -> bool:
+    mpath = os.path.join(phase_dir(root, phase), "_PHASE.json")
+    try:
+        with open(mpath) as f:
+            return json.load(f).get("config_fp") == cfg_fp
+    except (OSError, json.JSONDecodeError):
+        return False

@@ -134,6 +134,10 @@ class TestResume:
                 kept_stamp[d] = json.load(f)["written_at"]
         for d in tiles[:3]:
             shutil.rmtree(os.path.join(out_dir, d))
+        # a crash mid-overlay means the stitched phase checkpoint was
+        # never written — remove it so this test exercises TILE resume
+        # (phase resume is covered in test_round3_fixes.py)
+        shutil.rmtree(os.path.join(out_dir, "phase=stitched"), ignore_errors=True)
         df2 = (
             resolve.resolve_overlap_gap_resumable(docs64, out_dir, cfg)
             .to_pandas()

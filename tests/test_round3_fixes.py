@@ -166,6 +166,53 @@ class TestDissolveFixpoint:
         assert float(big["area"].iloc[0]) >= 5.78e8  # at least the bare rect
 
 
+class TestPhaseResume:
+    def test_finalize_resume_skips_overlay_and_stitch(self, ray_session, tmp_path):
+        """Reference restart semantics at a PHASE boundary
+        (resolve_overlap_and_gap.sql:97-186): after the stitched face set
+        is checkpointed, a rerun (e.g. after a crash in the finalize join)
+        must produce the identical result WITHOUT re-running the overlay
+        or the stitch — proven by poisoning both stages."""
+        import os
+
+        import ray.data as rd
+
+        from rogray import sources, stages
+        from rogray.config import ResolveConfig, TopologyConfig
+        from rogray.pipelines import resolve
+
+        ds = rd.read_parquet(sources.docs_path_for("x", 150))
+        out_dir = str(tmp_path / "ckpt")
+        cfg = ResolveConfig(
+            topology=TopologyConfig(
+                snap_tolerance=1e-5, max_rows_in_each_cell=16, base_level=2
+            )
+        )
+        df1 = resolve.resolve_overlap_gap_resumable(ds, out_dir, cfg).to_pandas()
+        assert os.path.exists(os.path.join(out_dir, "phase=stitched", "_PHASE.json"))
+
+        class Poison:
+            def __init__(self, *a, **k):
+                raise RuntimeError("overlay must not run on a finalize resume")
+
+        saved = (stages.TileOverlay, stages.StitchLocal,
+                 stages.stitch_mid, stages.stitch_global)
+        stages.TileOverlay = Poison
+        stages.StitchLocal = Poison
+        stages.stitch_mid = Poison
+        stages.stitch_global = Poison
+        try:
+            df2 = resolve.resolve_overlap_gap_resumable(ds, out_dir, cfg).to_pandas()
+        finally:
+            (stages.TileOverlay, stages.StitchLocal,
+             stages.stitch_mid, stages.stitch_global) = saved
+
+        assert len(df1) == len(df2)
+        k1 = sorted(zip(df1["wkb"], df1["winner_pk"].fillna(-1)))
+        k2 = sorted(zip(df2["wkb"], df2["winner_pk"].fillna(-1)))
+        assert k1 == k2
+
+
 class TestBucketScaling:
     def test_n_buckets_grows_with_input(self):
         from rogray.dedup import _n_buckets_for
