@@ -252,10 +252,16 @@ def world_grid(precision: float) -> GridConfig:
     return GridConfig(-181.0, -91.0, span_px * precision, precision)
 
 
-def histogram_cells(ds, grid: GridConfig, fine_level: int):
+def histogram_cells(ds, grid: GridConfig, fine_level: int,
+                    only_under=None, mid_level: int | None = None):
     """Cheap histogram pass: decode -> centroid fine cell partial counts.
     Skips the full unwrap work (validity O(k^2), packing) because only the
-    bbox centre is needed for content balancing."""
+    bbox centre is needed for content balancing.
+
+    ``only_under`` (an ``ray.put`` ObjectRef of a frozenset of mid-level
+    cells) restricts the count to rows whose centroid falls under one of
+    those cells — the refinement stage of the two-stage histogram drops
+    cold rows inside the task, so only hot-cell partials ever move."""
 
     def partial(t: pa.Table) -> pa.Table:
         wkbs = spans_mod.extract_geometry_wkb(t["spans"])
@@ -283,6 +289,15 @@ def histogram_cells(ds, grid: GridConfig, fine_level: int):
             return pa.table({"cell": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
         g = core.snap(np.stack([cx_list, cy_list], axis=1), grid.origin_x, grid.origin_y, grid.precision)
         cells = quadkey.cell_of_point_px(g[:, 0], g[:, 1], fine_level, grid.span_px)
+        if only_under is not None:
+            import ray as _ray
+
+            hot = _ray.get(only_under)
+            par = quadkey.parent(cells, mid_level)
+            mask = np.fromiter((int(p) in hot for p in par), bool, len(par))
+            cells = cells[mask]
+            if not len(cells):
+                return pa.table({"cell": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
         u, c = np.unique(cells, return_counts=True)
         return pa.table({"cell": u.astype(np.int64), "n": c})
 
@@ -320,6 +335,8 @@ def compute_cut(
     fine_level: int,
     max_rows: int,
     sample_target: int = 200_000,
+    refine_levels: int = 3,
+    two_stage: bool | None = None,
 ) -> balance.CutIndex:
     """Content-balanced cut from a (sampled) centroid histogram.
 
@@ -327,26 +344,75 @@ def compute_cut(
     tiling-independent by construction and by test), so at scale the
     histogram reads a seeded sample and scales the counts — one cheap
     metadata count() plus a fractional read instead of a full pass.
+
+    Two-stage refinement (auto when sampling): a coarse pass at
+    ``fine_level - refine_levels`` finds hot cells (count > max_rows, the
+    split rule), then a second sample — its whole budget concentrated on
+    hot rows — refines ONLY those at fine_level.  Cold cells are lumped on
+    one fine descendant, which provably yields the same cut (a cell at or
+    under max_rows never splits, so the distribution below it is unused).
     """
     fine_level = min(fine_level, grid.max_level())
     base_level = min(base_level, fine_level)
 
     n_rows = docs_ds.count()  # parquet metadata, no data read
     frac = min(1.0, sample_target / max(1, n_rows))
-    hist_ds = docs_ds if frac >= 1.0 else docs_ds.random_sample(frac, seed=42)
-    # per-batch partials are already tiny (bounded by occupied fine cells):
-    # sum them driver-side instead of paying a groupby shuffle's fixed
-    # latency — the collected rows are partial counts, NOT raw data
+    mid_level = fine_level - refine_levels
+    if two_stage is None:
+        # auto: the refinement stage pays off only when the sample is a
+        # real subsample AND the coarse stage is strictly coarser
+        two_stage = frac < 1.0 and mid_level > base_level
+    if not two_stage or mid_level <= base_level:
+        hist_ds = docs_ds if frac >= 1.0 else docs_ds.random_sample(frac, seed=42)
+        cells, counts = _collect_hist(histogram_cells(hist_ds, grid, fine_level), frac)
+        cut = balance.build_cut(cells, counts, base_level, fine_level, max_rows)
+        return balance.CutIndex(cut, base_level, fine_level, grid.span_px)
+
+    # --- two-stage histogram (for 10^12-row layers a single fine-level
+    # sample leaves ~0 rows per fine cell; the coarse pass finds the HOT
+    # cells, then the whole refinement sample budget concentrates there) --
+    import ray as _ray
+
+    hist1 = docs_ds if frac >= 1.0 else docs_ds.random_sample(frac, seed=42)
+    cells1, counts1 = _collect_hist(histogram_cells(hist1, grid, mid_level), frac)
+    hot_mask = counts1 > max_rows  # exactly build_cut's split rule
+    hot = frozenset(int(c) for c in cells1[hot_mask])
+    # cold mid cells never split below mid_level, so LUMPING their count on
+    # one fine descendant yields the identical cut (asserted in tests)
+    _, cix, ciy = quadkey.decode(cells1[~hot_mask])
+    d = fine_level - mid_level
+    cold_cells = quadkey.encode(fine_level, cix << np.int64(d), ciy << np.int64(d))
+    cold_counts = counts1[~hot_mask]
+    if hot:
+        est_hot = int(counts1[hot_mask].sum())
+        frac2 = min(1.0, sample_target / max(1, est_hot))
+        hist2 = docs_ds if frac2 >= 1.0 else docs_ds.random_sample(frac2, seed=43)
+        hot_ref = _ray.put(hot)
+        fine_cells, fine_counts = _collect_hist(
+            histogram_cells(hist2, grid, fine_level,
+                            only_under=hot_ref, mid_level=mid_level),
+            frac2,
+        )
+        cells = np.concatenate([cold_cells, fine_cells])
+        counts = np.concatenate([cold_counts, fine_counts])
+    else:
+        cells, counts = cold_cells, cold_counts
+    cut = balance.build_cut(cells, counts, base_level, fine_level, max_rows)
+    return balance.CutIndex(cut, base_level, fine_level, grid.span_px)
+
+
+def _collect_hist(hist_out_ds, frac: float) -> tuple[np.ndarray, np.ndarray]:
+    """Sum per-batch histogram partials driver-side (they are bounded by
+    occupied cells, NOT raw data) and rescale sampled counts."""
     acc: dict[int, int] = {}
-    for r in histogram_cells(hist_ds, grid, fine_level).take_all():
+    for r in hist_out_ds.take_all():
         c = int(r["cell"])
         acc[c] = acc.get(c, 0) + int(r["n"])
     cells = np.fromiter(acc.keys(), dtype=np.uint64, count=len(acc))
     counts = np.fromiter(acc.values(), dtype=np.int64, count=len(acc))
     if frac < 1.0:
         counts = np.maximum(1, (counts / frac).astype(np.int64))
-    cut = balance.build_cut(cells, counts, base_level, fine_level, max_rows)
-    return balance.CutIndex(cut, base_level, fine_level, grid.span_px)
+    return cells, counts
 
 
 class Route:

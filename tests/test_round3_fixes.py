@@ -225,6 +225,49 @@ class TestBucketScaling:
         assert nbs[-1] == 100_003          # bounded
 
 
+class TestTwoStageHistogram:
+    def test_identical_cut_on_zipf_layer(self, ray_session):
+        """Two-stage (coarse sample -> refine hot cells) must produce the
+        IDENTICAL cut to the single-pass fine histogram when both see all
+        rows: a cold cell never splits, so lumping its count on one fine
+        descendant changes nothing (round-2 verdict item 10)."""
+        import ray.data as rd
+
+        from rogray import spans as spans_mod
+        from rogray import stages
+        from rogray.geom import wkb
+
+        rng = np.random.default_rng(11)
+        n = 3000
+        # Zipf-ish layer: 70% of polygons crowd one tiny hot corner,
+        # the rest spread over the whole extent
+        hotn = int(n * 0.7)
+        cx = np.concatenate([
+            5.0 + 0.05 * rng.random(hotn) ** 2,
+            5.0 + 1.0 * rng.random(n - hotn),
+        ])
+        cy = np.concatenate([
+            58.0 + 0.05 * rng.random(hotn) ** 2,
+            58.0 + 1.0 * rng.random(n - hotn),
+        ])
+        span_lists = []
+        for x, y in zip(cx, cy):
+            ring = np.array([[x, y], [x + 1e-4, y], [x + 1e-4, y + 1e-4], [x, y + 1e-4]])
+            span_lists.append([("geometry", wkb.encode_polygon([ring]).hex(), "", 0)])
+        docs = pa.table({
+            "doc_id": pa.array([str(i) for i in range(n)]),
+            "spans": spans_mod.make_spans_column(span_lists),
+        })
+        ds = rd.from_arrow(docs)
+        grid = stages.world_grid(1e-5)
+        one = stages.compute_cut(ds, grid, 2, 9, 64,
+                                 sample_target=10**9, two_stage=False)
+        two = stages.compute_cut(ds, grid, 2, 9, 64,
+                                 sample_target=10**9, two_stage=True)
+        assert one.leaves == two.leaves
+        assert one.counts == two.counts
+
+
 class TestGoldenHashes:
     """Value-hash pins (driver hash algorithm) for rows-only queries at
     sf0.001 defaults.  If geometry/attribution semantics drift, these
