@@ -472,109 +472,138 @@ def _gram_hashes(text: str, n: int = 3) -> np.ndarray:
 
 def _attach_pair_blobs(cand, blob_ds, id_type, blob_col: str = "grams",
                        n_buckets: int = 199):
-    """Attach ``blob_ds``'s per-doc blob to candidate pairs on BOTH ids via
-    two reduce-side sort-shuffle joins.  Keys are HASH-BUCKETED (~hundreds
-    of groups) and each bucket joins vectorized with a pandas merge —
-    per-key map_groups groups would pay milliseconds of scheduling per doc.
-    cand: (id_a, id_b); blob_ds: (doc_id, <blob_col>).  Returns
+    """Attach ``blob_ds``'s per-doc blob to candidate pairs on BOTH ids.
+
+    Single-union scheme: the blob table ships through exactly ONE shuffle
+    (keyed by doc-id hash bucket) where each pair's two HALF rows pick up
+    their side's blob; a second, pair-keyed shuffle — pair-sized, tiny —
+    recombines the halves.  (The round-2 version ran two sequential attach
+    joins and shipped the whole blob table through both.)  Buckets hold
+    hundreds of keys each and join vectorized with a pandas merge —
+    per-key map_groups groups would pay milliseconds of scheduling per
+    doc.  cand: (id_a, id_b); blob_ds: (doc_id, <blob_col>).  Returns
     (id_a, id_b, blob_a, blob_b)."""
 
-    def bucket_of(col: pa.ChunkedArray) -> pa.Array:
-        vals = col.cast(pa.string()).to_pylist()
+    def bucket_of_str(vals: list[str]) -> pa.Array:
         return pa.array(
             [zlib.crc32(v.encode()) % n_buckets for v in vals], pa.int32()
         )
 
-    def make_attach(key_col: str, blob_cols: list[str], blob_name: str):
-        out_schema = pa.schema(
-            [("b", pa.int32()), ("is_doc", pa.bool_()), ("k", pa.string()),
-             ("doc_blob", pa.large_binary()),
-             ("id_a", id_type), ("id_b", id_type)]
-            + [(c, pa.large_binary()) for c in blob_cols]
+    half_schema = pa.schema(
+        [("b", pa.int32()), ("is_doc", pa.bool_()), ("k", pa.string()),
+         ("doc_blob", pa.large_binary()), ("a_side", pa.bool_()),
+         ("id_a", id_type), ("id_b", id_type)]
+    )
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        n_ = len(t)
+        ka = t["id_a"].cast(pa.string()).to_pylist()
+        kb = t["id_b"].cast(pa.string()).to_pylist()
+        ca = t["id_a"].cast(id_type).combine_chunks()
+        cb = t["id_b"].cast(id_type).combine_chunks()
+        return pa.table(
+            {
+                "b": bucket_of_str(ka + kb),
+                "is_doc": pa.array([False] * (2 * n_), pa.bool_()),
+                "k": pa.array(ka + kb, pa.string()),
+                "doc_blob": pa.array([None] * (2 * n_), pa.large_binary()),
+                "a_side": pa.array([True] * n_ + [False] * n_, pa.bool_()),
+                "id_a": pa.concat_arrays([ca, ca]),
+                "id_b": pa.concat_arrays([cb, cb]),
+            },
+            schema=half_schema,
         )
 
-        def tag_pairs(t: pa.Table) -> pa.Table:
-            n_ = len(t)
-            d = {
-                "b": bucket_of(t[key_col]),
-                "is_doc": pa.array([False] * n_, pa.bool_()),
-                "k": t[key_col].cast(pa.string()).combine_chunks(),
-                "doc_blob": pa.array([None] * n_, pa.large_binary()),
-                "id_a": t["id_a"].cast(id_type).combine_chunks(),
-                "id_b": t["id_b"].cast(id_type).combine_chunks(),
-            }
-            for c in blob_cols:
-                d[c] = (
-                    t[c].cast(pa.large_binary()).combine_chunks()
-                    if c in t.column_names
-                    else pa.array([None] * n_, pa.large_binary())
-                )
-            return pa.table(d, schema=out_schema)
-
-        def tag_docs(t: pa.Table) -> pa.Table:
-            n_ = len(t)
-            d = {
-                "b": bucket_of(t["doc_id"]),
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n_ = len(t)
+        ks = t["doc_id"].cast(pa.string()).to_pylist()
+        return pa.table(
+            {
+                "b": bucket_of_str(ks),
                 "is_doc": pa.array([True] * n_, pa.bool_()),
-                "k": t["doc_id"].cast(pa.string()).combine_chunks(),
+                "k": pa.array(ks, pa.string()),
                 "doc_blob": t[blob_col].cast(pa.large_binary()).combine_chunks(),
+                "a_side": pa.array([False] * n_, pa.bool_()),
                 "id_a": pa.array([None] * n_, id_type),
                 "id_b": pa.array([None] * n_, id_type),
-            }
-            for c in blob_cols:
-                d[c] = pa.array([None] * n_, pa.large_binary())
-            return pa.table(d, schema=out_schema)
-
-        res_schema = pa.schema(
-            [("id_a", id_type), ("id_b", id_type)]
-            + [(c, pa.large_binary()) for c in blob_cols]
-            + [(blob_name, pa.large_binary())]
+            },
+            schema=half_schema,
         )
 
-        def combine(g: pa.Table) -> pa.Table:
-            is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
-            pair_idx = np.flatnonzero(~is_doc)
-            if len(pair_idx) == 0:
-                return res_schema.empty_table()
-            doc_idx = np.flatnonzero(is_doc)
-            prs = g.take(pa.array(pair_idx, pa.int64())).to_pandas()
-            docs = g.take(pa.array(doc_idx, pa.int64())).to_pandas()
-            merged = prs.merge(
-                docs[["k", "doc_blob"]].rename(columns={"doc_blob": blob_name}),
-                on="k", how="left",
-            )
-            d = {
+    half_out_schema = pa.schema(
+        [("pb", pa.int32()), ("a_side", pa.bool_()),
+         ("id_a", id_type), ("id_b", id_type), ("blob", pa.large_binary())]
+    )
+
+    def pick_blob(g: pa.Table) -> pa.Table:
+        is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
+        pair_idx = np.flatnonzero(~is_doc)
+        if len(pair_idx) == 0:
+            return half_out_schema.empty_table()
+        doc_idx = np.flatnonzero(is_doc)
+        prs = g.take(pa.array(pair_idx, pa.int64())).to_pandas()
+        docs = g.take(pa.array(doc_idx, pa.int64())).to_pandas()
+        merged = prs.merge(
+            docs[["k", "doc_blob"]].rename(columns={"doc_blob": "blob"}),
+            on="k", how="left",
+        )
+        pb = [
+            zlib.crc32(f"{a}|{b}".encode()) % n_buckets
+            for a, b in zip(merged["id_a"], merged["id_b"])
+        ]
+        return pa.table(
+            {
+                "pb": pa.array(pb, pa.int32()),
+                "a_side": pa.array(merged["a_side"].tolist(), pa.bool_()),
                 "id_a": pa.array(merged["id_a"].tolist(), id_type),
                 "id_b": pa.array(merged["id_b"].tolist(), id_type),
-            }
-            for c in blob_cols:
-                d[c] = pa.array(
-                    [None if v is None or v != v else v for v in merged[c]],
+                "blob": pa.array(
+                    [v if isinstance(v, (bytes, bytearray)) else None
+                     for v in merged["blob"]],
                     pa.large_binary(),
-                )
-            d[blob_name] = pa.array(
-                [None if v is None or (isinstance(v, float) and v != v) else v
-                 for v in merged[blob_name]],
+                ),
+            },
+            schema=half_out_schema,
+        )
+
+    pick_blob.__name__ = f"attach_{blob_col}"
+
+    res_schema = pa.schema(
+        [("id_a", id_type), ("id_b", id_type),
+         ("blob_a", pa.large_binary()), ("blob_b", pa.large_binary())]
+    )
+
+    def recombine(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        a = df[df["a_side"]][["id_a", "id_b", "blob"]].rename(columns={"blob": "blob_a"})
+        b = df[~df["a_side"]][["id_a", "id_b", "blob"]].rename(columns={"blob": "blob_b"})
+        m = a.merge(b, on=["id_a", "id_b"], how="outer")
+
+        def col(vals):
+            return pa.array(
+                [v if isinstance(v, (bytes, bytearray)) else None for v in vals],
                 pa.large_binary(),
             )
-            return pa.table(d, schema=res_schema)
 
-        combine.__name__ = f"attach_{blob_name}"
-        return tag_pairs, tag_docs, combine
+        return pa.table(
+            {
+                "id_a": pa.array(m["id_a"].tolist(), id_type),
+                "id_b": pa.array(m["id_b"].tolist(), id_type),
+                "blob_a": col(m["blob_a"]),
+                "blob_b": col(m["blob_b"]),
+            },
+            schema=res_schema,
+        )
 
-    tag_p1, tag_d1, comb1 = make_attach("id_a", [], "blob_a")
-    withA = (
-        cand.map_batches(tag_p1, batch_format="pyarrow")
-        .union(blob_ds.map_batches(tag_d1, batch_format="pyarrow"))
-        .groupby("b")
-        .map_groups(comb1, batch_format="pyarrow")
-    )
-    tag_p2, tag_d2, comb2 = make_attach("id_b", ["blob_a"], "blob_b")
+    recombine.__name__ = "recombine_pair_blobs"
+
     return (
-        withA.map_batches(tag_p2, batch_format="pyarrow")
-        .union(blob_ds.map_batches(tag_d2, batch_format="pyarrow"))
+        cand.map_batches(tag_pairs, batch_format="pyarrow")
+        .union(blob_ds.map_batches(tag_docs, batch_format="pyarrow"))
         .groupby("b")
-        .map_groups(comb2, batch_format="pyarrow")
+        .map_groups(pick_blob, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(recombine, batch_format="pyarrow")
     )
 
 
