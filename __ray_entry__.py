@@ -280,13 +280,15 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": textstats.fingerprint_sql(),
         "text_quality": textstats.quality_score_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_simhash": dedup.simhash_pairs_sql(),
         "dedup_embedding_exact": dedup.embedding_neardup_sql(),
         "ann_brute_topk": similarity.brute_topk_sql([0, 1, 2, 3], 10),
         # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap
         # family and other geometry pipelines (DuckDB has no spatial ext
-        # here), text_lang_id (heuristic), dedup_minhash_lsh / dedup_simhash
-        # / dedup_embedding_lsh (probabilistic LSH recall; their exact
+        # here), text_lang_id (heuristic), dedup_minhash_lsh /
+        # dedup_embedding_lsh (probabilistic LSH recall; their exact
         # twins dedup_exact / dedup_ngram_jaccard / dedup_embedding_exact
-        # ARE oracle-checked), ann_ivf_topk (recall-asserted vs
-        # ann_brute_topk in tests/test_ops.py)
+        # ARE oracle-checked; dedup_simhash's 4-block LSH is exhaustive
+        # for hamming<=3 so it has a full oracle above), ann_ivf_topk
+        # (recall-asserted vs ann_brute_topk in tests/test_ops.py)
     }

@@ -12,6 +12,7 @@ Patterns (partial aggregation inside map_batches, then a small groupby):
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import numpy as np
@@ -249,19 +250,31 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
     return withAB.map_batches(verify, batch_format="pyarrow")
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (crc32-seeded, deterministic)."""
+_SIMHASH_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def simhash64(text: str, _memo: dict | None = None) -> int:
+    """64-bit SimHash over word features.
+
+    Word bits are ``md5_number_lower(word)`` — the LAST 8 md5 digest bytes
+    little-endian — exactly DuckDB's function of that name, so the SQL
+    oracle recomputes the identical signature.  Pass a dict as ``_memo``
+    to reuse per-word bit vectors across calls (vocabulary is tiny
+    relative to corpus size)."""
     acc = np.zeros(64, dtype=np.int64)
+    memo = _memo if _memo is not None else {}
     for w in (text or "").lower().split():
-        h = zlib.crc32(w.encode("utf-8"))
-        h2 = zlib.crc32((w + "#").encode("utf-8"))
-        bits = (np.uint64(h) << np.uint64(32)) | np.uint64(h2)
-        for i in range(64):
-            acc[i] += 1 if (int(bits) >> i) & 1 else -1
+        steps = memo.get(w)
+        if steps is None:
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[8:], "little")
+            )
+            steps = (((h >> _SIMHASH_SHIFTS) & np.uint64(1)).astype(np.int64) * 2) - 1
+            memo[w] = steps
+        acc += steps
     out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    for i in np.flatnonzero(acc > 0):
+        out |= 1 << int(i)
     return out
 
 
@@ -273,8 +286,9 @@ def simhash_pairs(ds, col: str = "text", max_hamming: int = 3):
         texts = t[col].to_pylist()
         ids = t["doc_id"].to_pylist()
         blk, key, did, sh = [], [], [], []
+        memo: dict = {}
         for d, s in zip(ids, texts):
-            h = simhash64(s)
+            h = simhash64(s, _memo=memo)
             for b in range(4):
                 blk.append(b)
                 key.append((h >> (16 * b)) & 0xFFFF)
@@ -316,6 +330,36 @@ def simhash_pairs(ds, col: str = "text", max_hamming: int = 3):
     return cand.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """DuckDB oracle recomputing the EXACT SimHash pair set: word bits are
+    md5_number_lower (matching simhash64), the signature is the per-bit
+    sign of the occurrence-weighted sum, and the 4x16-bit block LSH in
+    simhash_pairs is exhaustive for hamming <= 3 (pigeonhole: 3 flipped
+    bits leave >= 1 of 4 blocks intact), so an all-pairs hamming join is
+    the exact same set."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+  FROM documents
+), ww AS (
+  SELECT doc_id, md5_number_lower(w) AS h FROM words WHERE w <> ''
+), bits AS (
+  SELECT doc_id, i.i AS i,
+         SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM ww CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+  GROUP BY doc_id, i.i
+), sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)::UBIGINT AS h
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.h, b.h))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}
+"""
 
 
 def embedding_neardup_exact(ds, threshold: float = 0.4, n_blocks: int = 8):
