@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly": lambda sf: relational.orders_monthly(sf),
         "events_sessionize": lambda sf: relational.events_sessionize(sf),
         "top_parts_per_brand": lambda sf: relational.top_parts_per_brand(sf),
+        "events_asof_join": lambda sf: relational.events_asof_join(sf),
+        "events_window_stats": lambda sf: relational.events_window_stats(sf),
+        "orders_price_quantiles": lambda sf: relational.orders_price_quantiles(sf),
         # --- text analysis (DuckDB oracles where exact) ---
         "text_token_stats": lambda sf: textstats.token_stats(_docs(sf)),
         "text_fingerprint": lambda sf: textstats.fingerprint(_docs(sf)),
@@ -246,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(_docs(sf)),
         "dedup_simhash": lambda sf: dedup.simhash_pairs(_docs(sf)),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(_docs(sf)),
+        "dedup_substring": lambda sf: dedup.substring_dedup_pairs(_docs(sf)),
         "dedup_embedding_exact": lambda sf: dedup.embedding_neardup_exact(_embs(sf)),
         "dedup_clusters": lambda sf: __import__(
             "rogray.clusters", fromlist=["duplicate_clusters"]
@@ -276,11 +280,15 @@ def oracle_sql() -> dict[str, str]:
         "orders_monthly": relational.orders_monthly_sql(),
         "events_sessionize": relational.events_sessionize_sql(),
         "top_parts_per_brand": relational.top_parts_per_brand_sql(),
+        "events_asof_join": relational.events_asof_join_sql(),
+        "events_window_stats": relational.events_window_stats_sql(),
+        "orders_price_quantiles": relational.orders_price_quantiles_sql(),
         "text_token_stats": textstats.token_stats_sql(),
         "text_fingerprint": textstats.fingerprint_sql(),
         "text_quality": textstats.quality_score_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_simhash": dedup.simhash_pairs_sql(),
+        "dedup_substring": dedup.substring_dedup_sql(),
         "dedup_embedding_exact": dedup.embedding_neardup_sql(),
         "ann_brute_topk": similarity.brute_topk_sql([0, 1, 2, 3], 10),
         # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap

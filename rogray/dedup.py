@@ -827,3 +827,97 @@ def ngram_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
           AND len(list_intersect(a.g, b.g)) >= {threshold} *
               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
     """
+
+def substring_dedup_pairs(ds, gram_len: int = 50, max_df: int = 100,
+                          col: str = "text"):
+    """Cross-document EXACT substring duplication (the training-data
+    near-dup signal of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): pairs of documents sharing at least
+    one exact ``gram_len``-character substring, with the count of
+    distinct shared substrings.
+
+    Shape: every doc emits its DISTINCT char n-grams as 128-bit md5 keys
+    (16 bytes each — the text itself never shuffles), hash-bucketed;
+    each bucket groups by gram vectorized and emits pairs for grams with
+    document frequency in [2, max_df] (higher-df grams are boilerplate —
+    the cap both matches the SQL oracle and bounds the quadratic pair
+    blowup of hot grams at scale); a second, pair-keyed tiny shuffle
+    counts distinct shared grams per pair.  The scale path for the gram
+    stream is stride/winnowing anchors (stride > 1); stride 1 here keeps
+    the oracle exact.  Output: (id_a, id_b, n_shared)."""
+
+    # gram volume ~= chars per doc; bucket count scaled like the other
+    # dedup shuffles (a tiny fixed count means giant groups at scale, a
+    # huge one pays Ray's per-group scheduling ms — the #1 trap)
+    nb = _n_buckets_for(ds.count() * 1024)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        texts = t[col].to_pylist()
+        ids = t["doc_id"].to_pylist()
+        out_b, out_g, out_d = [], [], []
+        for d, s in zip(ids, texts):
+            s = s or ""
+            grams = {s[i : i + gram_len] for i in range(len(s) - gram_len + 1)}
+            for g in grams:
+                h = hashlib.md5(g.encode("utf-8")).digest()
+                out_b.append((h[0] | (h[1] << 8)) % nb)
+                out_g.append(h)
+                out_d.append(d)
+        return pa.table(
+            {
+                "gb": pa.array(out_b, pa.int32()),
+                "gh": pa.array(out_g, pa.binary(16)),
+                "doc_id": pa.array(out_d, t["doc_id"].type),
+            }
+        )
+
+    def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_pb = [], [], []
+        ids_all = g["doc_id"].to_numpy()
+        for _, idx in g.groupby("gh").indices.items():
+            ids = np.unique(ids_all[idx])
+            if not (2 <= len(ids) <= max_df):
+                continue
+            ii, jj = _pair_idx(len(ids))
+            out_a.extend(ids[ii].tolist())
+            out_b.extend(ids[jj].tolist())
+        pb = [zlib.crc32(f"{a}|{b}".encode()) % 67 for a, b in zip(out_a, out_b)]
+        return pd.DataFrame({"pb": pb, "id_a": out_a, "id_b": out_b})
+
+    def count_shared(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["id_a", "id_b"], as_index=False).size()
+        out = out.rename(columns={"size": "n_shared"})
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out[["id_a", "id_b", "n_shared"]]
+
+    return (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(gram_pairs, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(count_shared, batch_format="pandas")
+    )
+
+
+def substring_dedup_sql(gram_len: int = 50, max_df: int = 100) -> str:
+    """Oracle joins on the substring itself (no hashing), so a 128-bit
+    md5 collision in the engine would surface as a mismatch."""
+    return f"""
+        WITH g AS (
+          SELECT DISTINCT doc_id, substr(text, i, {gram_len}) AS gram
+          FROM documents
+          CROSS JOIN (
+            SELECT unnest(generate_series(
+              1, (SELECT CAST(max(length(text)) AS INT) FROM documents))) AS i
+          ) s
+          WHERE i <= length(text) - {gram_len - 1}
+        ), ok AS (
+          SELECT gram FROM g GROUP BY gram
+          HAVING COUNT(*) BETWEEN 2 AND {max_df}
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        JOIN ok ON ok.gram = a.gram
+        GROUP BY a.doc_id, b.doc_id
+    """

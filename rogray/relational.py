@@ -383,3 +383,149 @@ def top_parts_per_brand_sql(k: int = 3) -> str:
           FROM part
         ) WHERE rnk <= {k}
     """
+
+def events_asof_join(sf_dir: str):
+    """AS-OF join expressed Ray-Data-first: for every 'error' event, the
+    most recent 'click' event of the same user strictly earlier in the
+    deterministic (ts, event_id) order.  One shuffle by user_id; inside
+    each group a sorted scan forward-fills the last click — the
+    composition-of-map_groups form of an as-of join (no Dataset.join).
+    Errors with no prior click are dropped (keeps the output
+    NULL-free for exact value-hash comparison).  Output:
+    (event_id, user_id, error_t_us, click_event_id, click_t_us, gap_us).
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    ).filter(expr="event_type == 'click' or event_type == 'error'")
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        t_us = g["ts"].astype("datetime64[us]").astype("int64")
+        is_click = (g["event_type"] == "click").to_numpy()
+        click_id = pd.Series(np.where(is_click, g["event_id"], np.nan)).shift(1).ffill()
+        click_t = pd.Series(np.where(is_click, t_us, np.nan)).shift(1).ffill()
+        err = (g["event_type"] == "error").to_numpy() & click_id.notna().to_numpy()
+        out = pd.DataFrame(
+            {
+                "event_id": g.loc[err, "event_id"].to_numpy(),
+                "user_id": g.loc[err, "user_id"].to_numpy(),
+                "error_t_us": t_us[err].to_numpy(),
+                "click_event_id": click_id[err].astype("int64").to_numpy(),
+                "click_t_us": click_t[err].astype("int64").to_numpy(),
+            }
+        )
+        out["gap_us"] = out["error_t_us"] - out["click_t_us"]
+        return out
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+def events_asof_join_sql() -> str:
+    return """
+        WITH u AS (
+          SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type,
+                 CASE WHEN event_type = 'click' THEN event_id END AS cid,
+                 CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS ct
+          FROM events WHERE event_type IN ('click', 'error')
+        ), f AS (
+          SELECT event_id, user_id, t_us, event_type,
+                 last_value(cid IGNORE NULLS) OVER w AS click_event_id,
+                 last_value(ct IGNORE NULLS) OVER w AS click_t_us
+          FROM u
+          WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, CAST(t_us AS BIGINT) AS error_t_us,
+               CAST(click_event_id AS BIGINT) AS click_event_id,
+               CAST(click_t_us AS BIGINT) AS click_t_us,
+               CAST(t_us - click_t_us AS BIGINT) AS gap_us
+        FROM f WHERE event_type = 'error' AND click_event_id IS NOT NULL
+    """
+
+
+def events_window_stats(sf_dir: str, window_seconds: int = 600):
+    """Sliding-window aggregate (RANGE frame): for every event, the count
+    and value-cents sum of the SAME USER's events in the trailing
+    ``window_seconds`` — peers at the exact same timestamp are all
+    included (SQL RANGE semantics), which keeps ties deterministic.  One
+    shuffle by user_id; inside each group two vectorized searchsorted
+    bounds against the sorted timestamp array + a prefix-sum difference.
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    w_us = window_seconds * 1_000_000
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = _cents(g["value"])
+        csum = np.concatenate([[0], np.cumsum(v)])
+        hi = np.searchsorted(t, t, side="right")
+        lo = np.searchsorted(t, t - w_us, side="left")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "t_us": t,
+                "n_window": (hi - lo).astype(np.int64),
+                "sum_window_c": (csum[hi] - csum[lo]).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(win, batch_format="pandas")
+
+
+def events_window_stats_sql(window_seconds: int = 600) -> str:
+    return f"""
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                 AS sum_window_c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {window_seconds} * 1000000 PRECEDING
+                           AND CURRENT ROW)
+    """
+
+
+def orders_price_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (DuckDB quantile_disc rule:
+    sorted[ceil(q*n) - 1]) of order total price in cents, by order
+    status.  Partial per batch would change the answer (quantiles don't
+    combine), so the group is shuffled whole — the scale path is a
+    t-digest/KLL sketch, declared here as the approximate variant."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
+    )
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(_cents(g["o_totalprice"]))
+        n = len(c)
+
+        def q(p: float) -> int:
+            return int(c[max(int(np.ceil(p * n)) - 1, 0)])
+
+        return pd.DataFrame(
+            {
+                "o_orderstatus": [g["o_orderstatus"].iloc[0]],
+                "n": [np.int64(n)],
+                "q25_c": [q(0.25)],
+                "q50_c": [q(0.50)],
+                "q75_c": [q(0.75)],
+                "q90_c": [q(0.90)],
+            }
+        )
+
+    return ds.groupby("o_orderstatus").map_groups(quant, batch_format="pandas")
+
+
+def orders_price_quantiles_sql() -> str:
+    return """
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) AS q25_c,
+               quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.50) AS q50_c,
+               quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) AS q75_c,
+               quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.90) AS q90_c
+        FROM orders GROUP BY o_orderstatus
+    """

