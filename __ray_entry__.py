@@ -288,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": textstats.quality_score_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_simhash": dedup.simhash_pairs_sql(),
+        "dedup_minhash_lsh": dedup.minhash_lsh_sql(),
         "dedup_substring": dedup.substring_dedup_sql(),
         "dedup_embedding_exact": dedup.embedding_neardup_sql(),
         "ann_brute_topk": similarity.brute_topk_sql([0, 1, 2, 3], 10),

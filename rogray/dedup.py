@@ -28,11 +28,25 @@ _A = _rng.integers(1, _MERSENNE, size=_NPERM, dtype=np.int64)
 _B = _rng.integers(0, _MERSENNE, size=_NPERM, dtype=np.int64)
 
 
-def _shingles(text: str, k: int = 5) -> np.ndarray:
+def _shingles(text: str, k: int = 5, _memo: dict | None = None) -> np.ndarray:
+    """Distinct char-k-gram hashes of whitespace-normalized text, as
+    ``md5_number_lower(gram) % 2**32`` — DuckDB-expressible, so the LSH
+    oracle recomputes identical shingle sets (crc32 is not in DuckDB)."""
     s = " ".join((text or "").lower().split())
     if len(s) < k:
         s = s + " " * (k - len(s))
-    out = {zlib.crc32(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)}
+    memo = _memo if _memo is not None else {}
+    out = set()
+    for i in range(len(s) - k + 1):
+        g = s[i : i + k]
+        h = memo.get(g)
+        if h is None:
+            h = (
+                int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[8:], "little")
+                & 0xFFFFFFFF
+            )
+            memo[g] = h
+        out.add(h)
     return np.fromiter(out, dtype=np.int64, count=len(out))
 
 
@@ -156,8 +170,10 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
 
     def sig_rows(t: pa.Table) -> pa.Table:
         texts = t[col].to_pylist()
+        memo: dict = {}
         blobs = [
-            _minhash(_shingles(s)).astype(np.int64).tobytes() for s in texts
+            _minhash(_shingles(s, _memo=memo)).astype(np.int64).tobytes()
+            for s in texts
         ]
         return pa.table(
             {
@@ -172,36 +188,37 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
     nb = _n_buckets_for(sigs_ds.count())
 
     def band_rows(t: pa.Table) -> pa.Table:
+        """One row per (doc, band) carrying the EXACT band key (the 4
+        signature values, dash-joined) — not a hash of it, so a band
+        match in the shuffle is true tuple equality and the SQL oracle's
+        band join reproduces the identical candidate set.  The gb column
+        hash-buckets the LSH buckets: each Ray group handles many of
+        them vectorized (per-bucket map_groups groups cost milliseconds
+        of scheduling each at 16 x n_docs band rows)."""
         ids = t["doc_id"].to_pylist()
-        b_band, b_hash, b_id = [], [], []
+        b_band, b_key, b_gb, b_id = [], [], [], []
         for did, blob in zip(ids, t["sig"].to_pylist()):
             sig = np.frombuffer(blob, dtype=np.int64)
             for b in range(_BANDS):
                 chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+                key = "-".join(map(str, chunk.tolist()))
                 b_band.append(b)
-                b_hash.append(int(zlib.crc32(chunk.astype(np.uint64).tobytes())))
+                b_key.append(key)
+                b_gb.append((b * 1_000_003 + zlib.crc32(key.encode())) % nb)
                 b_id.append(did)
         return pa.table(
             {
                 "band": pa.array(b_band, pa.int32()),
-                "bhash": pa.array(b_hash, pa.int64()),
+                "bkey": pa.array(b_key, pa.string()),
+                "gb": pa.array(b_gb, pa.int32()),
                 "doc_id": pa.array(b_id, id_type),
             }
         )
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        # hash-bucket the (band, bhash) groups: each Ray group handles many
-        # LSH buckets vectorized (per-bucket map_groups groups cost
-        # milliseconds of scheduling each at 16 x n_docs band rows)
-        band = t["band"].to_numpy()
-        bh = t["bhash"].to_numpy()
-        gb = ((band.astype(np.int64) * 1_000_003 + bh) % nb).astype(np.int32)
-        return t.append_column("gb", pa.array(gb, pa.int32()))
-
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
         ids_all = g["doc_id"].to_numpy()
-        for _, idx in g.groupby(["band", "bhash"]).indices.items():
+        for _, idx in g.groupby(["band", "bkey"]).indices.items():
             ids = np.unique(ids_all[idx])
             if len(ids) < 2:
                 continue
@@ -212,7 +229,6 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
 
     cand = _dedup_pairs(
         sigs_ds.map_batches(band_rows, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("gb")
         .map_groups(band_pairs, batch_format="pandas"),
         n_buckets=nb,
@@ -236,7 +252,9 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
             j = float((A == B).mean())
             if j >= jaccard_threshold:
                 keep.append(i)
-                out_j.append(int(round(100 * j)))
+                # half-away rounding to match SQL round() (banker's
+                # round() would diverge on exact .5 percentages)
+                out_j.append(int(np.floor(100 * j + 0.5)))
         sub = t.take(pa.array(keep, pa.int64()))
         return pa.table(
             {
@@ -251,6 +269,63 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
 
 
 _SIMHASH_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def minhash_lsh_sql(jaccard_threshold: float = 0.8, k: int = 5) -> str:
+    """DuckDB oracle recomputing minhash_lsh_pairs EXACTLY: identical
+    shingle hashes (md5_number_lower % 2^32 of the whitespace-normalized
+    char k-grams), identical permutations ((a*h+b) wrapped mod 2^64 like
+    numpy uint64, then mod 2^61-1 — the _A/_B constants are inlined
+    below), true band-tuple equality for candidates (the engine ships
+    the exact band key, not a hash), and the same signature-match
+    fraction threshold and rounding."""
+    perm_rows = ",".join(
+        f"({j},{int(_A[j])},{int(_B[j])})" for j in range(_NPERM)
+    )
+    return f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s0
+          FROM documents
+        ), padded AS (
+          SELECT doc_id,
+                 CASE WHEN length(s0) < {k} THEN rpad(s0, {k}, ' ')
+                      ELSE s0 END AS s
+          FROM norm
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 md5_number_lower(substr(s, i, {k})) % 4294967296 AS h
+          FROM padded CROSS JOIN (
+            SELECT unnest(generate_series(
+              1, (SELECT CAST(MAX(length(s)) AS INT) FROM padded))) AS i) t
+          WHERE i <= length(s) - {k - 1}
+        ), perm(j, a, b) AS (VALUES {perm_rows}),
+        sig AS (
+          SELECT doc_id, j,
+                 MIN(((CAST(a AS HUGEINT) * h + b)
+                      % 18446744073709551616) % 2305843009213693951) AS mh
+          FROM sh CROSS JOIN perm GROUP BY doc_id, j
+        ), bands AS (
+          SELECT doc_id, j // {_ROWS_PER_BAND} AS band,
+                 list(mh ORDER BY j) AS bkey
+          FROM sig GROUP BY doc_id, j // {_ROWS_PER_BAND}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ), matched AS (
+          SELECT c.id_a, c.id_b,
+                 SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b,
+               CAST(floor(100.0 * m / {_NPERM} + 0.5) AS BIGINT) AS jaccard_x100
+        FROM matched
+        WHERE CAST(m AS DOUBLE) / {_NPERM} >= {jaccard_threshold}
+    """
 
 
 def simhash64(text: str, _memo: dict | None = None) -> int:
