@@ -291,13 +291,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.minhash_lsh_sql(),
         "dedup_substring": dedup.substring_dedup_sql(),
         "dedup_embedding_exact": dedup.embedding_neardup_sql(),
+        "dedup_embedding_lsh": dedup.embedding_lsh_sql(),
         "ann_brute_topk": similarity.brute_topk_sql([0, 1, 2, 3], 10),
         # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap
         # family and other geometry pipelines (DuckDB has no spatial ext
-        # here), text_lang_id (heuristic), dedup_minhash_lsh /
-        # dedup_embedding_lsh (probabilistic LSH recall; their exact
-        # twins dedup_exact / dedup_ngram_jaccard / dedup_embedding_exact
-        # ARE oracle-checked; dedup_simhash's 4-block LSH is exhaustive
-        # for hamming<=3 so it has a full oracle above), ann_ivf_topk
-        # (recall-asserted vs ann_brute_topk in tests/test_ops.py)
+        # here), text_lang_id (heuristic), ann_ivf_topk (k-means training;
+        # recall-asserted vs ann_brute_topk in tests/test_ops.py).  The
+        # LSH dedups (minhash / simhash / embedding) all have EXACT
+        # oracles above: each SQL twin reproduces the algorithm itself —
+        # hash functions, band keys and candidate sets included.
     }

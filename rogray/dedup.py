@@ -498,35 +498,59 @@ def embedding_neardup_exact(ds, threshold: float = 0.4, n_blocks: int = 8):
     )
 
 
+_EMB_BANDS = 4
+_EMB_BITS = 4
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic (dim, 16) hyperplane matrix — rng(1234) standard
+    normals, identical constants inlined in embedding_lsh_sql so the
+    DuckDB oracle reproduces the exact same sign bits."""
+    return np.random.default_rng(1234).standard_normal(
+        (dim, _EMB_BANDS * _EMB_BITS)
+    )
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.4):
     """Embedding cosine near-dup pairs (vec_id_a < vec_id_b, sim rounded).
 
     Hyperplane-LSH bucketed scan — the SCALE path (recall < 1 by design;
-    ~99.7% at sim 0.98 with 4 bands of 4 bits).  Use
-    embedding_neardup_exact for oracle-exact results.
+    ~99.7% at sim 0.98 with 4 bands of 4 bits).  Bit j is the sign of the
+    RAW embedding's dot with plane j (sign is normalization-invariant),
+    band keys pack 4 bits MSB-first, and only same-(band, key) vectors
+    are compared — all DuckDB-expressible, so embedding_lsh_sql is an
+    EXACT oracle of this algorithm (candidate set included), like the
+    minhash_lsh_sql twin.
     """
 
     def rows(t: pa.Table) -> pa.Table:
         embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-        ids = t["vec_id"].to_pylist()
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "nvec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         norm = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
-        rng = np.random.default_rng(1234)
-        planes = rng.standard_normal((norm.shape[1], 16))
-        bits = (norm @ planes) > 0
-        out_band, out_key, out_id, out_vec = [], [], [], []
-        for i in range(len(ids)):
-            h = int(np.packbits(bits[i]).view(np.uint16)[0])
-            for b in range(4):
-                out_band.append(b)
-                out_key.append((h >> (4 * b)) & 0xF)
-                out_id.append(ids[i])
-                out_vec.append(norm[i].tolist())
+        bits = (embs @ _hyperplanes(embs.shape[1])) > 0
+        weights = 1 << np.arange(_EMB_BITS - 1, -1, -1)  # MSB-first
+        keys = (bits.reshape(n, _EMB_BANDS, _EMB_BITS) @ weights).astype(np.int64)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int64()),
-                "vec_id": pa.array(out_id, pa.int64()),
-                "nvec": pa.array(out_vec, pa.list_(pa.float64())),
+                "band": pa.array(
+                    np.tile(np.arange(_EMB_BANDS, dtype=np.int32), n), pa.int32()
+                ),
+                "key": pa.array(keys.ravel(), pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, _EMB_BANDS), pa.int64()),
+                "nvec": pa.array(
+                    np.repeat(norm, _EMB_BANDS, axis=0).tolist(),
+                    pa.list_(pa.float64()),
+                ),
             }
         )
 
@@ -538,8 +562,8 @@ def embedding_neardup_pairs(ds, threshold: float = 0.4):
         ii, jj = np.where(np.triu(sims >= threshold, k=1))
         return pd.DataFrame(
             {
-                "vec_id_a": ids[ii],
-                "vec_id_b": ids[jj],
+                "id_a": ids[ii],
+                "id_b": ids[jj],
                 "sim_x1000": np.floor(sims[ii, jj] * 1000 + 0.5).astype(np.int64),
             }
         )
@@ -549,9 +573,55 @@ def embedding_neardup_pairs(ds, threshold: float = 0.4):
         .groupby(["band", "key"])
         .map_groups(pairs, batch_format="pandas")
     )
-    return cand.groupby(["vec_id_a", "vec_id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # cross-band dedup: sim_x1000 is identical for every band's copy of a
+    # pair (same two float64 vectors -> same BLAS dot), so keeping an
+    # arbitrary first per (id_a, id_b) bucket is deterministic
+    deduped = _dedup_pairs(cand, n_buckets=67)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["vec_id_a", "vec_id_b", "sim_x1000"])
+
+    return deduped.map_batches(rename, batch_format="pyarrow")
+
+
+def embedding_lsh_sql(threshold: float = 0.4, dim: int = 64) -> str:
+    """DuckDB oracle recomputing embedding_neardup_pairs EXACTLY: the
+    same rng(1234) hyperplane constants (inlined), the same sign bits
+    (raw-embedding dot product cast to DOUBLE), the same MSB-first 4-bit
+    band keys, true band-key equality for candidates, and the same
+    cosine threshold + half-away rounding as embedding_neardup_sql."""
+    planes = _hyperplanes(dim)
+    rows = ",".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            j, ",".join(repr(float(v)) for v in planes[:, j])
+        )
+        for j in range(_EMB_BANDS * _EMB_BITS)
     )
+    return f"""
+        WITH planes(j, p) AS (VALUES {rows}),
+        bits AS (
+          SELECT vec_id, j,
+                 CASE WHEN list_dot_product(
+                        CAST(embedding AS DOUBLE[]), p) > 0
+                      THEN 1 ELSE 0 END AS bit
+          FROM embeddings CROSS JOIN planes
+        ), keys AS (
+          SELECT vec_id, j // {_EMB_BITS} AS band,
+                 SUM(bit * (1 << ({_EMB_BITS - 1} - (j % {_EMB_BITS})))) AS key
+          FROM bits GROUP BY vec_id, j // {_EMB_BITS}
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+          FROM keys a JOIN keys b
+            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+        )
+        SELECT c.ia AS vec_id_a, c.ib AS vec_id_b,
+               CAST(floor(list_cosine_similarity(ea.embedding, eb.embedding)
+                          * 1000 + 0.5) AS BIGINT) AS sim_x1000
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.ia
+        JOIN embeddings eb ON eb.vec_id = c.ib
+        WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}
+    """
 
 
 def embedding_neardup_sql(threshold: float = 0.4) -> str:

@@ -14,7 +14,7 @@ import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ("events", "orders", "documents")
+TABLES = ("events", "orders", "documents", "embeddings")
 
 
 def _oracle_con():
@@ -149,3 +149,32 @@ class TestSimhashMd5:
             dedup.simhash_pairs(rd.read_parquet(f"{SF}/documents.parquet")),
             dedup.simhash_pairs_sql(),
         )
+
+
+class TestEmbeddingLshOracle:
+    def test_matches_oracle(self, ray_session):
+        """The LSH path's SQL twin reproduces the algorithm exactly —
+        hyperplane sign bits, band keys and candidate set included."""
+        import ray.data as rd
+        from rogray import dedup
+
+        _assert_matches_oracle(
+            dedup.embedding_neardup_pairs(
+                rd.read_parquet(f"{SF}/embeddings.parquet")
+            ),
+            dedup.embedding_lsh_sql(),
+        )
+
+    def test_lsh_is_subset_of_exact(self, ray_session):
+        import ray.data as rd
+        from rogray import dedup
+
+        lsh = dedup.embedding_neardup_pairs(
+            rd.read_parquet(f"{SF}/embeddings.parquet")
+        ).to_pandas()
+        exact = dedup.embedding_neardup_exact(
+            rd.read_parquet(f"{SF}/embeddings.parquet")
+        ).to_pandas()
+        k = lambda d: set(zip(d["vec_id_a"], d["vec_id_b"]))
+        assert k(lsh) <= k(exact)
+        assert len(lsh) >= 0.4 * len(exact)  # recall floor at this config
