@@ -244,6 +244,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": lambda sf: textstats.fingerprint(_docs(sf)),
         "text_quality": lambda sf: textstats.quality_score(_docs(sf)),
         "text_lang_id": lambda sf: textstats.lang_id(_docs(sf)),
+        "text_pii_stats": lambda sf: textstats.pii_stats(_docs(sf)),
+        # --- corpus statistics + sampling ---
+        "tfidf_top_terms": lambda sf: __import__(
+            "rogray.corpus", fromlist=["tfidf_top_terms"]
+        ).tfidf_top_terms(_docs(sf)),
+        "corpus_heavy_hitters": lambda sf: __import__(
+            "rogray.corpus", fromlist=["heavy_hitters"]
+        ).heavy_hitters(_docs(sf)),
+        "source_distinct_terms": lambda sf: __import__(
+            "rogray.corpus", fromlist=["source_distinct_terms"]
+        ).source_distinct_terms(_docs(sf)),
+        "source_distinct_terms_hll": lambda sf: __import__(
+            "rogray.corpus", fromlist=["source_distinct_terms_hll"]
+        ).source_distinct_terms_hll(_docs(sf)),
+        "sample_stratified": lambda sf: __import__(
+            "rogray.sampling", fromlist=["stratified_sample"]
+        ).stratified_sample(_docs(sf)),
         # --- deduplication ---
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(_docs(sf)),
@@ -292,6 +309,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring": dedup.substring_dedup_sql(),
         "dedup_embedding_exact": dedup.embedding_neardup_sql(),
         "dedup_embedding_lsh": dedup.embedding_lsh_sql(),
+        "text_pii_stats": textstats.pii_stats_sql(),
+        "tfidf_top_terms": __import__(
+            "rogray.corpus", fromlist=["tfidf_sql"]
+        ).tfidf_sql(),
+        "corpus_heavy_hitters": __import__(
+            "rogray.corpus", fromlist=["heavy_hitters_sql"]
+        ).heavy_hitters_sql(),
+        "source_distinct_terms": __import__(
+            "rogray.corpus", fromlist=["source_distinct_terms_sql"]
+        ).source_distinct_terms_sql(),
+        "sample_stratified": __import__(
+            "rogray.sampling", fromlist=["stratified_sample_sql"]
+        ).stratified_sample_sql(),
+        # source_distinct_terms_hll: sketch (no oracle); pytest asserts
+        # <=5% error vs the exact source_distinct_terms twin
         "ann_brute_topk": similarity.brute_topk_sql([0, 1, 2, 3], 10),
         # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap
         # family and other geometry pipelines (DuckDB has no spatial ext

@@ -144,6 +144,53 @@ def quality_score(ds):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_PHONE = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+
+
+def pii_stats(ds):
+    """doc_id, counts of email / URL / phone-shaped substrings, has_pii.
+
+    Fully vectorized: pyarrow's RE2 `count_substring_regex` over the Arrow
+    string column, zero row loops.  DuckDB's regexp functions are also
+    RE2, so pii_stats_sql counts the identical non-overlapping matches.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        n_em = pc.cast(pc.count_substring_regex(txt, _PII_EMAIL), pa.int64())
+        n_url = pc.cast(pc.count_substring_regex(txt, _PII_URL), pa.int64())
+        n_ph = pc.cast(pc.count_substring_regex(txt, _PII_PHONE), pa.int64())
+        has = pc.cast(
+            pc.greater(pc.add(n_em, n_ph), pa.scalar(0, pa.int64())), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "n_emails": n_em,
+                "n_urls": n_url,
+                "n_phones": n_ph,
+                "has_pii": has,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pii_stats_sql() -> str:
+    return (
+        "SELECT doc_id, "
+        f"len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails, "
+        f"len(regexp_extract_all(text, '{_PII_URL}')) AS n_urls, "
+        f"len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones, "
+        f"CASE WHEN len(regexp_extract_all(text, '{_PII_EMAIL}')) "
+        f"+ len(regexp_extract_all(text, '{_PII_PHONE}')) > 0 "
+        "THEN 1 ELSE 0 END AS has_pii "
+        "FROM documents"
+    )
+
+
 def quality_score_sql() -> str:
     return """
         WITH s AS (
