@@ -245,6 +245,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": lambda sf: textstats.quality_score(_docs(sf)),
         "text_lang_id": lambda sf: textstats.lang_id(_docs(sf)),
         "text_pii_stats": lambda sf: textstats.pii_stats(_docs(sf)),
+        "text_bpe_token_count": lambda sf: textstats.bpe_token_count(_docs(sf)),
+        "unigram_logprob": lambda sf: __import__(
+            "rogray.corpus", fromlist=["unigram_logprob"]
+        ).unigram_logprob(_docs(sf)),
         # --- corpus statistics + sampling ---
         "tfidf_top_terms": lambda sf: __import__(
             "rogray.corpus", fromlist=["tfidf_top_terms"]
@@ -310,6 +314,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_exact": dedup.embedding_neardup_sql(),
         "dedup_embedding_lsh": dedup.embedding_lsh_sql(),
         "text_pii_stats": textstats.pii_stats_sql(),
+        "text_bpe_token_count": textstats.bpe_token_count_sql(),
+        "unigram_logprob": __import__(
+            "rogray.corpus", fromlist=["unigram_logprob_sql"]
+        ).unigram_logprob_sql(),
         "tfidf_top_terms": __import__(
             "rogray.corpus", fromlist=["tfidf_sql"]
         ).tfidf_sql(),

@@ -246,6 +246,115 @@ def source_distinct_terms_sql() -> str:
     """
 
 
+def unigram_logprob(ds):
+    """Per-document corpus-unigram log-probability — the KenLM-style
+    quality filter shape: a first pass learns the corpus unigram
+    distribution, a second scores every document under it.
+
+    Fully shuffle-based (no broadcast of the vocabulary, which is
+    corpus-sized at 100 TB): global term counts form in the term-hash
+    shuffle the (doc, term, tf) rows already travel through, each row's
+    contribution ``tf * ln(cnt / n_corpus_tokens)`` is rounded to an
+    int64 x1000 RIGHT THERE — so the per-doc reduce is an integer sum,
+    order-independent, and unigram_logprob_sql() matches bit for bit
+    (double SUM order is unspecified in SQL, so summing doubles would
+    not be a stable oracle).
+
+    Emits (doc_id, n_tokens, logprob_x1000); zero-token documents have
+    no unigram rows and are omitted, same as the SQL twin.
+    """
+    # corpus token total: one cheap vectorized pre-pass (the alternative
+    # — deriving it from the term-count shuffle — needs a barrier)
+    n_tok = int(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            sum(
+                                len(_TOKEN.findall((s or "").lower()))
+                                for s in t["text"].to_pylist()
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+    )
+    tf_ds = ds.map_batches(_tf_rows, batch_format="pyarrow")
+    nb = 211
+
+    def tag_term(t: pa.Table) -> pa.Table:
+        hb = [zlib.crc32(s.encode()) % nb for s in t["term"].to_pylist()]
+        return t.append_column("hb", pa.array(hb, pa.int32()))
+
+    def contrib(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        cnt = g.groupby("term")["tf"].transform("sum").to_numpy(np.int64)
+        # math.log (libm), not np.log (SIMD, may differ in the last ulp
+        # from DuckDB's ln) — evaluated once per distinct count
+        uniq, inv = np.unique(cnt, return_inverse=True)
+        lp_u = np.array([math.log(int(u) / n_tok) for u in uniq], np.float64)
+        logp = lp_u[inv]
+        c = np.floor(1000.0 * g["tf"].to_numpy(np.float64) * logp + 0.5)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "tf": g["tf"].to_numpy(np.int64),
+                "c": c.astype(np.int64),
+            }
+        )
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        db = (t["doc_id"].to_numpy() % nb).astype(np.int32)
+        return t.append_column("db", pa.array(db, pa.int32()))
+
+    def reduce_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id").agg(
+            n_tokens=("tf", "sum"), logprob_x1000=("c", "sum")
+        )
+        return agg.reset_index().astype(
+            {"doc_id": np.int64, "n_tokens": np.int64, "logprob_x1000": np.int64}
+        )
+
+    return (
+        tf_ds.map_batches(tag_term, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(contrib, batch_format="pandas")
+        .map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(reduce_doc, batch_format="pandas")
+    )
+
+
+def unigram_logprob_sql() -> str:
+    return """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        ), cnt AS (
+          SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+        ), tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cnt
+        ), contrib AS (
+          SELECT tf.doc_id, tf.tf,
+                 CAST(floor(1000 * tf.tf
+                            * ln(CAST(cnt.cnt AS DOUBLE) / (SELECT n FROM tot))
+                            + 0.5) AS BIGINT) AS c
+          FROM tf JOIN cnt USING (term)
+        )
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(c) AS BIGINT) AS logprob_x1000
+        FROM contrib GROUP BY doc_id
+    """
+
+
 _HLL_P = 12
 _HLL_M = 1 << _HLL_P
 

@@ -191,6 +191,37 @@ def pii_stats_sql() -> str:
     )
 
 
+_BPE_PAT = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(ds):
+    """doc_id, n_bpe_tokens under a GPT-2-style pretokenizer regex
+    (contraction suffixes / letter runs / digit runs / punct runs /
+    whitespace).  A byte-pair merge only splits WITHIN pretokens, so this
+    upper-bounds and closely tracks real BPE token counts — the usual
+    budget estimator in training-data pipelines.  Vectorized RE2 via
+    pyarrow; DuckDB's RE2 counts the identical matches."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(t["text"].combine_chunks(), _BPE_PAT),
+            pa.int64(),
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"].combine_chunks(), "n_bpe_tokens": n}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bpe_token_count_sql() -> str:
+    return (
+        "SELECT doc_id, len(regexp_extract_all(text, '"
+        + _BPE_PAT.replace("'", "''")
+        + "')) AS n_bpe_tokens FROM documents"
+    )
+
+
 def quality_score_sql() -> str:
     return """
         WITH s AS (

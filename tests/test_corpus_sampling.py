@@ -65,6 +65,41 @@ class TestCorpusOracles:
         _check(sampling.stratified_sample(_docs()), sampling.stratified_sample_sql())
 
 
+class TestUnigramLogprob:
+    def test_matches_oracle(self, ray_session):
+        from rogray import corpus
+
+        _check(corpus.unigram_logprob(_docs()), corpus.unigram_logprob_sql())
+
+    def test_rarer_terms_score_lower(self, ray_session):
+        import ray.data as rd
+        from rogray import corpus
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "source": ["s"] * 4,
+                "text": ["common common common", "common common rare",
+                         "common common common", "common common common"],
+            }
+        )
+        out = (
+            corpus.unigram_logprob(rd.from_pandas(docs))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # doc 2 contains the corpus-unique term -> strictly lower total
+        assert out.loc[2, "logprob_x1000"] < out.loc[1, "logprob_x1000"]
+        assert (out["n_tokens"] == 3).all()
+
+
+class TestBpeTokenCount:
+    def test_matches_oracle(self, ray_session):
+        from rogray import textstats
+
+        _check(textstats.bpe_token_count(_docs()), textstats.bpe_token_count_sql())
+
+
 class TestHll:
     def test_error_within_bound_at_high_cardinality(self, ray_session):
         import ray.data as rd
