@@ -9,6 +9,7 @@
 """
 
 import numpy as np
+import pytest
 import pyarrow as pa
 
 
@@ -281,23 +282,28 @@ class TestGoldenHashes:
 
         return value_hash(to_pandas(obj))
 
-    def test_face_attributes_pinned(self, ray_session, golden_hashes):
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "face_attributes",
+            "edge_attributes",
+            "find_overlap_gap",
+            "resolve_overlap_gap",
+            "resolve_overlap_gap_summary",
+            "compare_result",
+            "smooth_lines",
+            "raster_vectorize",
+            "content_balanced_tiling",
+            "point_in_polygon_join",
+            "media_features",
+            "text_lang_id",
+        ],
+    )
+    def test_rows_only_query_pinned(self, ray_session, golden_hashes, name):
         import __ray_entry__ as entry
 
-        q = entry.queries()["face_attributes"]
+        q = entry.queries()[name]
         h = self._hash(q("/root/testdata/sf0.001"))
-        assert h == golden_hashes["face_attributes"]
-
-    def test_edge_attributes_pinned(self, ray_session, golden_hashes):
-        import __ray_entry__ as entry
-
-        q = entry.queries()["edge_attributes"]
-        h = self._hash(q("/root/testdata/sf0.001"))
-        assert h == golden_hashes["edge_attributes"]
-
-    def test_find_overlap_gap_pinned(self, ray_session, golden_hashes):
-        import __ray_entry__ as entry
-
-        q = entry.queries()["find_overlap_gap"]
-        h = self._hash(q("/root/testdata/sf0.001"))
-        assert h == golden_hashes["find_overlap_gap"]
+        assert h == golden_hashes[name], (
+            f"{name} output drifted from its pinned sf0.001 value hash"
+        )
