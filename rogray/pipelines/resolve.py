@@ -1,12 +1,13 @@
 """Flagship pipeline: resolve_overlap_gap — Ray-Data rebuild of
 CALL resolve_overlap_gap_run(...) (function_resolve_overlap_gap_run.sql).
 
-One linear streaming pipeline (no branch, no mid-pipeline materialize):
+One streaming pipeline with a single deliberate materialize point:
 
   documents -> Unwrap -> [histogram/cut: tiny driver step] -> Route
             -> groupby(tile).map_groups(TileOverlay)      # shuffle 1
-            -> groupby(stitch_key).map_groups(stitch)     # shuffle 2 (borders)
-            -> Finalize -> result Dataset / parquet
+            -> materialize -> interior faces bypass ------------+
+            -> groupby(stitch_key).map_groups(stitch)  # borders only
+            -> union(bypass) -> Finalize -> result Dataset / parquet
 
 The reference's 7-phase job state machine with dblink fan-out, row locks
 and retry ladders collapses to two shuffles because tile ownership is by
@@ -78,22 +79,43 @@ def stitched_faces(ds, cfg: ResolveConfig, plan: ResolvePlan):
         ),
         batch_format="pyarrow",
     )
-    # multi-level border stitch: coarse-cell buckets, then (when the grid is
-    # deep enough) a spatial mid level that dissolves giant signature
-    # groups — the gap/universe network above all — in parallel, then
-    # per-signature global groups.  Only still-frontier pieces escalate a
-    # level, so the straggler group shrinks geometrically.
-    mid_level = _mid_level(coarse_level)
-    st = faces.groupby("stitch_key").map_groups(
+    return _stitch_levels(faces, _mid_level(coarse_level))
+
+
+def _stitch_levels(faces, mid_level):
+    """Multi-level border stitch over the border-piece subset only.
+
+    Interior faces (kind==0, the bulk of the output) are final the moment
+    the overlay emits them; shipping them through three stitch shuffles
+    just to pass through moves output-sized ring data all-to-all three
+    times and schedules thousands of pass-through groups.  Instead the
+    overlay output is materialized once, interiors are routed straight to
+    the result, and only border pieces (a thin O(perimeter) subset) are
+    sorted through the stitch levels: coarse-cell buckets, then (when the
+    grid is deep enough) a spatial mid level that dissolves giant
+    signature groups — the gap/universe network above all — in parallel,
+    then per-signature global groups.  Only still-frontier pieces escalate
+    a level, so the straggler group shrinks geometrically."""
+    import pyarrow.compute as pc
+
+    faces = faces.materialize()
+    interior = faces.map_batches(
+        lambda tb: tb.filter(pc.equal(tb["kind"], 0)), batch_format="pyarrow"
+    )
+    border = faces.map_batches(
+        lambda tb: tb.filter(pc.not_equal(tb["kind"], 0)), batch_format="pyarrow"
+    )
+    st = border.groupby("stitch_key").map_groups(
         stages.StitchLocal(mid_level), batch_format="pyarrow"
     )
     if mid_level is not None:
         st = st.groupby("stitch_key").map_groups(
             stages.stitch_mid, batch_format="pyarrow"
         )
-    return st.groupby("stitch_key").map_groups(
+    st = st.groupby("stitch_key").map_groups(
         stages.stitch_global, batch_format="pyarrow"
     )
+    return interior.union(st)
 
 
 def resolve_overlap_gap(
@@ -214,6 +236,7 @@ def _marker_table(plan: ResolvePlan, exclude: set[int] | None = None):
 _JOIN_SCHEMA = pa.schema(
     [
         ("jk", pa.int64()),          # join key: winner_pk / doc pk
+        ("bkt", pa.int64()),         # shuffle bucket: jk mod n_buckets
         ("is_doc", pa.bool_()),
         ("tile", pa.int64()),
         ("rings", pa.large_binary()),
@@ -228,12 +251,19 @@ _JOIN_SCHEMA = pa.schema(
 
 def _finalize_join(stitched, ds, grid, utm):
     """JT7 attribute copy (cell.sql:869-873) as a reduce-side join: face
-    rows and (pk, doc payload) rows shuffle to the same winner_pk key, the
-    group attaches the winner's doc_id/spans to every face.  Task-pool
-    sort shuffle throughout — no join-aggregator actors to start (they
-    also reserved CPUs on small clusters), no driver materialization, and
-    sorts consume the 0-row schema-less blocks that crash Ray's hash-join
-    schema broadcast."""
+    rows and (pk, doc payload) rows shuffle to the same BUCKET of winner_pk
+    keys, and each bucket attaches winners to faces with one vectorized
+    searchsorted — grouping per pk would schedule one tiny group per output
+    face.  Bucket count scales with the doc count (~4k rows per group) so
+    groups stay bounded at 100 TB.  Task-pool sort shuffle throughout — no
+    join-aggregator actors to start (they also reserved CPUs on small
+    clusters), no driver materialization, and sorts consume the 0-row
+    schema-less blocks that crash Ray's hash-join schema broadcast."""
+    from ..dedup import _n_buckets_for
+
+    # docs are read_parquet / in-memory sources at every call site, so
+    # count() is a metadata lookup, not an execution
+    nb = _n_buckets_for(max(1, ds.count()) * 8)
 
     def docs_min(t: pa.Table) -> pa.Table:
         import json
@@ -251,9 +281,11 @@ def _finalize_join(stitched, ds, grid, utm):
             )
             for doc in t["spans"].to_pylist()
         ]
+        pks_np = np.asarray(pks, dtype=np.int64)
         return pa.table(
             {
                 "jk": pa.array(pks, pa.int64()),
+                "bkt": pa.array(pks_np % nb, pa.int64()),
                 "is_doc": pa.array([True] * n, pa.bool_()),
                 "tile": pa.array([0] * n, pa.int64()),
                 "rings": pa.array([None] * n, pa.large_binary()),
@@ -272,6 +304,7 @@ def _finalize_join(stitched, ds, grid, utm):
         return pa.table(
             {
                 "jk": t["winner_pk"].combine_chunks(),
+                "bkt": pa.array(t["winner_pk"].to_numpy() % nb, pa.int64()),
                 "is_doc": pa.array([False] * n, pa.bool_()),
                 "tile": t["tile"].combine_chunks(),
                 "rings": t["rings"].combine_chunks(),
@@ -290,22 +323,28 @@ def _finalize_join(stitched, ds, grid, utm):
         is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
         faces_idx = np.flatnonzero(~is_doc)
         if len(faces_idx) == 0:
-            return _JOIN_SCHEMA.empty_table().drop_columns(["jk", "is_doc"])
+            return _JOIN_SCHEMA.empty_table().drop_columns(["jk", "bkt", "is_doc"])
         doc_idx = np.flatnonzero(is_doc)
         faces = g.take(pa.array(faces_idx, pa.int64()))
-        out = faces.drop_columns(["jk", "is_doc"])
+        out = faces.drop_columns(["jk", "bkt", "is_doc"])
         if len(doc_idx):
-            i = int(doc_idx[0])
-            nf = len(faces)
+            docs = g.take(pa.array(doc_idx, pa.int64()))
+            fjk = faces["jk"].to_numpy()
+            djk = docs["jk"].to_numpy()
+            order = np.argsort(djk, kind="stable")
+            djk_s = djk[order]
+            pos = np.minimum(np.searchsorted(djk_s, fjk), len(djk_s) - 1)
+            miss = djk_s[pos] != fjk
+            idx = pa.array(order[pos], pa.int64(), mask=miss)
             out = out.set_column(
                 out.schema.get_field_index("w_doc_id"),
                 "w_doc_id",
-                pa.array([g["w_doc_id"][i].as_py()] * nf, pa.string()),
+                docs["w_doc_id"].combine_chunks().take(idx),
             )
             out = out.set_column(
                 out.schema.get_field_index("w_spans_json"),
                 "w_spans_json",
-                pa.array([g["w_spans_json"][i].as_py()] * nf, pa.string()),
+                docs["w_spans_json"].combine_chunks().take(idx),
             )
         return out
 
@@ -313,7 +352,7 @@ def _finalize_join(stitched, ds, grid, utm):
     joined = (
         stitched.map_batches(prep, batch_format="pyarrow")
         .union(ds.map_batches(docs_min, batch_format="pyarrow"))
-        .groupby("jk")
+        .groupby("bkt")
         .map_groups(attach, batch_format="pyarrow")
     )
     return joined.map_batches(
@@ -412,17 +451,7 @@ def resolve_overlap_gap_resumable(
     pending.count()  # drive the checkpointing pass
 
     faces = manifest.read_all(out_dir)
-    mid_level = _mid_level(coarse_level)
-    st = faces.groupby("stitch_key").map_groups(
-        stages.StitchLocal(mid_level), batch_format="pyarrow"
-    )
-    if mid_level is not None:
-        st = st.groupby("stitch_key").map_groups(
-            stages.stitch_mid, batch_format="pyarrow"
-        )
-    stitched = st.groupby("stitch_key").map_groups(
-        stages.stitch_global, batch_format="pyarrow"
-    )
+    stitched = _stitch_levels(faces, _mid_level(coarse_level))
     if cfg.clean.min_area_to_keep > 0:
         stitched = dissolve_small_faces(
             stitched, grid, t.utm, cfg.clean.min_area_to_keep
