@@ -1013,17 +1013,59 @@ def _assemble_gap_partial(group: pa.Table, esc_key_fn) -> pa.Table:
     return pa.concat_tables(outs)
 
 
+def _lone_piece_forwardable(rings: list[np.ndarray], masks: list[np.ndarray]) -> bool:
+    """True when a signature's single piece can skip assembly at a
+    non-final level: it has frontier border segments (so it escalates) and
+    no opposite-orientation duplicate border pair within itself (nothing
+    the pre-cancellation or noding could change — its rings come out of
+    one prior snap-round arrangement, so self-noding is the identity)."""
+    segs = []
+    for r, m in zip(rings, masks):
+        if len(r) < 2:
+            continue
+        mb = m.astype(bool)
+        if not mb.any():
+            continue
+        a = r[mb]
+        b = np.roll(r, -1, axis=0)[mb]
+        keep = (a[:, 0] != b[:, 0]) | (a[:, 1] != b[:, 1])
+        if keep.any():
+            segs.append(np.concatenate([a[keep], b[keep]], axis=1))
+    if not segs:
+        return False  # no positive-length frontier: must assemble/finalize
+    s = np.concatenate(segs)
+    flip = (s[:, 0] > s[:, 2]) | ((s[:, 0] == s[:, 2]) & (s[:, 1] > s[:, 3]))
+    s[flip] = s[flip][:, [2, 3, 0, 1]]
+    order = np.lexsort((s[:, 3], s[:, 2], s[:, 1], s[:, 0]))
+    s = s[order]
+    return not bool(np.any(np.all(s[1:] == s[:-1], axis=1)))
+
+
 def _assemble_bucket(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) -> pa.Table:
     """Split a bucket of border pieces by coverage signature and assemble
     each signature independently; one Ray group handles many signatures so
-    the per-group scheduling overhead stays off the hot path."""
+    the per-group scheduling overhead stays off the hot path.  Signatures
+    with a single forwardable piece (the majority at the local level: their
+    partner lives in another coarse cell) skip the noding/polygonize
+    machinery entirely and escalate with only a key rewrite."""
     covs = group["cov"].to_pylist()
     by_sig: dict[tuple, list[int]] = {}
     for i, c in enumerate(covs):
         by_sig.setdefault(tuple(c or []), []).append(i)
     outs = []
+    fwd_idx: list[int] = []
+    fwd_keys: list[str] = []
+    rings_col = group["rings"].to_pylist() if not final else None
+    tiles = group["tile"].to_numpy() if not final else None
     for sig in sorted(by_sig):
         idx = by_sig[sig]
+        if not final and len(idx) == 1:
+            i = idx[0]
+            rings, masks = unpack_rings(rings_col[i])
+            if _lone_piece_forwardable(rings, masks):
+                fwd_idx.append(i)
+                fwd_keys.append(esc_key_fn(sorted(sig), int(tiles[i])))
+                continue
         sub = group.take(pa.array(idx, pa.int64()))
         if sig == ():
             outs.append(
@@ -1033,6 +1075,14 @@ def _assemble_bucket(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) 
             )
         else:
             outs.append(_assemble(sub, final=final, esc_key_fn=esc_key_fn))
+    if fwd_idx:
+        fwd = group.take(pa.array(fwd_idx, pa.int64()))
+        fwd = fwd.set_column(
+            fwd.schema.get_field_index("stitch_key"),
+            "stitch_key",
+            pa.array(fwd_keys, pa.string()),
+        )
+        outs.append(fwd)
     outs = [o for o in outs if len(o)]
     if not outs:
         return _face_table({k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")})
