@@ -239,6 +239,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": lambda sf: relational.events_asof_join(sf),
         "events_window_stats": lambda sf: relational.events_window_stats(sf),
         "orders_price_quantiles": lambda sf: relational.orders_price_quantiles(sf),
+        "latest_event_per_user": lambda sf: relational.latest_event_per_user(sf),
+        "events_funnel": lambda sf: relational.events_funnel(sf),
+        # --- distributed joins (fact x fact bucket shuffles) ---
+        "shipping_priority": lambda sf: __import__(
+            "rogray.joins", fromlist=["shipping_priority"]
+        ).shipping_priority(sf),
+        "order_priority_counts": lambda sf: __import__(
+            "rogray.joins", fromlist=["order_priority_counts"]
+        ).order_priority_counts(sf),
+        "returned_items": lambda sf: __import__(
+            "rogray.joins", fromlist=["returned_items"]
+        ).returned_items(sf),
+        "customers_without_orders": lambda sf: __import__(
+            "rogray.joins", fromlist=["customers_without_orders"]
+        ).customers_without_orders(sf),
         # --- text analysis (DuckDB oracles where exact) ---
         "text_token_stats": lambda sf: textstats.token_stats(_docs(sf)),
         "text_fingerprint": lambda sf: textstats.fingerprint(_docs(sf)),
@@ -304,6 +319,20 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": relational.events_asof_join_sql(),
         "events_window_stats": relational.events_window_stats_sql(),
         "orders_price_quantiles": relational.orders_price_quantiles_sql(),
+        "latest_event_per_user": relational.latest_event_per_user_sql(),
+        "events_funnel": relational.events_funnel_sql(),
+        "shipping_priority": __import__(
+            "rogray.joins", fromlist=["shipping_priority_sql"]
+        ).shipping_priority_sql(),
+        "order_priority_counts": __import__(
+            "rogray.joins", fromlist=["order_priority_counts_sql"]
+        ).order_priority_counts_sql(),
+        "returned_items": __import__(
+            "rogray.joins", fromlist=["returned_items_sql"]
+        ).returned_items_sql(),
+        "customers_without_orders": __import__(
+            "rogray.joins", fromlist=["customers_without_orders_sql"]
+        ).customers_without_orders_sql(),
         "text_token_stats": textstats.token_stats_sql(),
         "text_fingerprint": textstats.fingerprint_sql(),
         "text_quality": textstats.quality_score_sql(),

@@ -529,3 +529,172 @@ def orders_price_quantiles_sql() -> str:
                quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.90) AS q90_c
         FROM orders GROUP BY o_orderstatus
     """
+
+
+def latest_event_per_user(sf_dir: str):
+    """Distributed argmax: each user's most recent event (ties on ts break
+    to the smallest event_id).  Per-batch partial argmax first, then one
+    small shuffle over <= users x blocks candidate rows — the full event
+    payload never moves."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type", "value"]
+    )
+
+    def best_rows(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        t_us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        # sort (user asc, ts desc, event_id asc): first row per user wins
+        order = np.lexsort((eid, -t_us, uid))
+        u_s = uid[order]
+        first = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        sel = order[first]
+        t = t.take(pa.array(sel, pa.int64()))
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "t_us": pa.array(t_us[sel], pa.int64()),
+                "neg_event_id": pa.array(-eid[sel], pa.int64()),
+                "event_type": t["event_type"].cast(pa.string()).combine_chunks(),
+                "value_c": pa.array(_cents(t["value"].to_numpy(zero_copy_only=False)), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(best_rows, batch_format="pyarrow")
+
+    def reduce_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_us", "neg_event_id"], ascending=[True, False, False])
+        out = g.drop_duplicates("user_id", keep="first").copy()
+        out["event_id"] = -out["neg_event_id"]
+        return out[["user_id", "t_us", "event_id", "event_type", "value_c"]]
+
+    # users are bucketed (~4k per group), not grouped one-by-one
+    from .dedup import _n_buckets_for
+
+    nb = _n_buckets_for(rd.read_parquet(f"{sf_dir}/events.parquet").count())
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("ub", pa.array(u % nb, pa.int64()))
+
+    return (
+        partials.map_batches(add_bkt, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(
+            lambda g: reduce_best(g.drop(columns=["ub"])), batch_format="pandas"
+        )
+        .sort("user_id")
+    )
+
+
+def latest_event_per_user_sql() -> str:
+    return """
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS t_us,
+               event_id,
+               event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_c
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+        ORDER BY user_id
+    """
+
+
+def events_funnel(sf_dir: str):
+    """Ordered funnel signup -> click -> purchase per user, reported per
+    signup day: of the users whose first signup fell on that day, how many
+    later clicked and then purchased (strictly increasing timestamps).
+    One shuffle: events of the three types bucket by user hash; the chain
+    min-computations inside a bucket are reduceat-vectorized."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    from .dedup import _n_buckets_for
+
+    nb = _n_buckets_for(rd.read_parquet(f"{sf_dir}/events.parquet").count())
+    STEPS = ("signup", "click", "purchase")
+
+    def route(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        step = np.full(len(et), -1, np.int64)
+        for i, s in enumerate(STEPS):
+            step[et == s] = i
+        keep = np.flatnonzero(step >= 0)
+        u = t["user_id"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        t_us = (
+            t["ts"].to_numpy(zero_copy_only=False)[keep].astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "ub": pa.array(u % nb, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "step": pa.array(step[keep], pa.int64()),
+                "t_us": pa.array(t_us, pa.int64()),
+            }
+        )
+
+    BIG = np.int64(2**62)
+
+    def funnel_bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        step = g["step"].to_numpy()
+        t = g["t_us"].to_numpy()
+        users, inv = np.unique(u, return_inverse=True)
+        m = len(users)
+
+        def chain_min(level: int, after: np.ndarray) -> np.ndarray:
+            """min t over rows of `level` with t > after[user]; +BIG if none."""
+            mask = step == level
+            tt = np.where(mask & (t > after[inv]), t, BIG)
+            order = np.argsort(inv, kind="stable")
+            tt_s = tt[order]
+            inv_s = inv[order]
+            starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+            mins = np.minimum.reduceat(tt_s, starts) if len(tt_s) else np.empty(0, np.int64)
+            out = np.full(m, BIG, np.int64)
+            out[inv_s[starts]] = mins
+            return out
+
+        t1 = chain_min(0, np.full(m, -BIG, np.int64))
+        t2 = chain_min(1, t1)
+        t3 = chain_min(2, t2)
+        sign = np.flatnonzero(t1 < BIG)
+        day = t1[sign] // 86_400_000_000
+        done = (t3[sign] < BIG).astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(day, pa.int64()),
+                "n_signups": pa.array(np.ones(len(sign), np.int64), pa.int64()),
+                "n_completed": pa.array(done, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(funnel_bucket, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_signups", alias_name="n_signups"), Sum("n_completed", alias_name="n_completed"))
+        .sort("day")
+    )
+
+
+def events_funnel_sql() -> str:
+    return """
+        WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+                   WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+              JOIN s ON e.user_id = s.user_id AND epoch_us(e.ts) > s.t1
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t2
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT s.t1 // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_signups,
+               CAST(COUNT(p.user_id) AS BIGINT) AS n_completed
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+        GROUP BY day
+        ORDER BY day
+    """
