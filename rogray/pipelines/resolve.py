@@ -860,6 +860,9 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
 
         merged_new = (
             live_faces().map_batches(pick, batch_format="pyarrow")
+            # pick keeps only merge-involved faces (tiny); coalesce so the
+            # merge-key sort is not O(source_blocks^2) in shuffle objects
+            .repartition(int(_ray.cluster_resources().get("CPU", 32)) * 2)
             .groupby("merge_key")
             .map_groups(merge_group, batch_format="pyarrow")
             .materialize()  # tiny: one row per merge group
@@ -889,6 +892,15 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
             "dissolve_small_faces: fixpoint not reached within %d rounds", rounds
         )
 
-    return live_faces().map_batches(
+    out = live_faces().map_batches(
         lambda t: t.drop_columns(["uid", "small"]), batch_format="pyarrow"
     )
+    # the per-round union-of-filtered-unions leaves O(rounds x base_blocks)
+    # tiny blocks; downstream sort shuffles are O(blocks^2) in object count,
+    # so coalesce once here.  Block target scales with bytes (64 MB each)
+    # so a 100 TB output is never squeezed into a fixed count.
+    n_blocks = max(
+        int(_ray.cluster_resources().get("CPU", 32)) * 2,
+        int(base.size_bytes() // (64 << 20)),
+    )
+    return out.repartition(n_blocks)
