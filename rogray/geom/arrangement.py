@@ -524,7 +524,9 @@ def smooth_tile_faces(
                 max_length=chaikins_max_len_px or np.inf,
             )
         snapped = np.round(out).astype(np.int64)
-        keep = np.r_[True, np.any(snapped[1:] != snapped[:-1], axis=1)]
+        keep = np.empty(len(snapped), dtype=bool)
+        keep[0] = True
+        np.any(snapped[1:] != snapped[:-1], axis=1, out=keep[1:])
         return snapped[keep]
 
     # --- pass 1: decompose rings into chains; register unique ones --------

@@ -55,7 +55,9 @@ def _clip_halfplane(pts: np.ndarray, axis: int, bound: int, keep_less: bool) -> 
         return np.empty((0, 2), dtype=np.int64)
     arr = np.asarray(out, dtype=np.int64)
     # drop consecutive duplicates (incl. wrap-around)
-    keep = np.r_[True, np.any(arr[1:] != arr[:-1], axis=1)]
+    keep = np.empty(len(arr), dtype=bool)
+    keep[0] = True
+    np.any(arr[1:] != arr[:-1], axis=1, out=keep[1:])
     arr = arr[keep]
     if len(arr) > 1 and (arr[0] == arr[-1]).all():
         arr = arr[:-1]

@@ -45,8 +45,7 @@ def _canonicalize(segs: np.ndarray, labels: list[frozenset]) -> tuple[np.ndarray
     labels = [labels[i] for i in order]
     same = np.all(segs[1:] == segs[:-1], axis=1)
     if same.any():
-        starts = np.flatnonzero(np.r_[True, ~same])
-        ends = np.r_[starts[1:], len(segs)]
+        starts, ends = _run_bounds(~same, len(segs))
         out_labels = [
             labels[s] if e - s == 1 else frozenset().union(*labels[s:e])
             for s, e in zip(starts.tolist(), ends.tolist())
@@ -56,6 +55,20 @@ def _canonicalize(segs: np.ndarray, labels: list[frozenset]) -> tuple[np.ndarray
 
 
 _TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+def _run_bounds(diff_mask, n):
+    """(starts, ends) of equal-runs given the "differs from previous" mask
+    over positions 1..n-1 — np.r_-free (np.r_ costs ~30us per call, which
+    dominates when the kernels run per coverage signature)."""
+    first = np.empty(len(diff_mask) + 1, dtype=bool)
+    first[0] = True
+    first[1:] = diff_mask
+    starts = np.flatnonzero(first)
+    ends = np.empty(len(starts), dtype=np.int64)
+    ends[:-1] = starts[1:]
+    ends[-1] = n
+    return starts, ends
+
 
 
 def _triu(m: int) -> tuple[np.ndarray, np.ndarray]:
@@ -90,8 +103,11 @@ def _grid_pairs(boxes: np.ndarray, cell: int, other_points: np.ndarray | None = 
     if other_points is None:
         order = np.argsort(keys, kind="stable")
         keys, idx = keys[order], idx[order]
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        ends = np.r_[starts[1:], len(keys)]
+        neq = np.empty(len(keys), dtype=bool)
+        neq[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=neq[1:])
+        starts = np.flatnonzero(neq)
+        ends = np.concatenate([starts[1:], [len(keys)]])
         sizes = ends - starts
         ai, bi = [], []
         for s, e in zip(starts[sizes > 1], ends[sizes > 1]):
@@ -233,11 +249,17 @@ def _hot_pixel_hits(segs: np.ndarray, verts: np.ndarray, cell: int):
 
 
 def _choose_cell(segs: np.ndarray) -> int:
+    # grid cell ~ 75th-percentile segment extent; partition-based selection
+    # (cell choice is perf-only: any positive cell yields identical noding,
+    # so the cheaper non-interpolating quantile is fine)
+    n = len(segs)
+    if n == 0:
+        return 1
     w = np.maximum(
         np.abs(segs[:, 2] - segs[:, 0]), np.abs(segs[:, 3] - segs[:, 1])
     )
-    m = int(np.percentile(w, 75)) if len(w) else 1
-    return max(1, m)
+    k = (3 * (n - 1)) // 4
+    return max(1, int(np.partition(w, k)[k]))
 
 
 def node_segments(

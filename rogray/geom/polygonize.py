@@ -27,6 +27,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from .noding import _run_bounds
+
 
 @dataclass
 class Face:
@@ -113,12 +115,14 @@ def _nesting_raycasts(
     order = np.argsort(keys, kind="stable")
     keys_s, idx_s = keys[order], idx[order]
     ukeys, kstarts = np.unique(keys_s, return_index=True)
-    kends = np.r_[kstarts[1:], len(keys_s)]
+    kends = np.empty(len(kstarts), dtype=np.int64)
+    kends[:-1] = kstarts[1:]
+    if len(kends):
+        kends[-1] = len(keys_s)
     ucol = (ukeys >> np.int64(31)) + coff
     uyb = (ukeys & np.int64((1 << 31) - 1)) + yoff
     # per-column contiguous runs in (ucol, uyb) order (ukeys is col-major)
-    col_starts = np.flatnonzero(np.r_[True, ucol[1:] != ucol[:-1]])
-    col_ends = np.r_[col_starts[1:], len(ucol)]
+    col_starts, col_ends = _run_bounds(ucol[1:] != ucol[:-1], len(ucol))
     col_range = {int(ucol[s]): (s, e) for s, e in zip(col_starts.tolist(), col_ends.tolist())}
 
     for c in range(ncomp):
@@ -230,8 +234,7 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
     order = np.lexsort((ang, e_orig))
     # for each node: contiguous run in `order` (vectorized)
     sorted_nodes = e_orig[order]
-    starts = np.flatnonzero(np.r_[True, sorted_nodes[1:] != sorted_nodes[:-1]])
-    ends = np.r_[starts[1:], len(order)]
+    starts, ends = _run_bounds(sorted_nodes[1:] != sorted_nodes[:-1], len(order))
     node_run_start = np.zeros(len(uniq_pts), dtype=np.int64)
     node_run_end = np.zeros(len(uniq_pts), dtype=np.int64)
     node_run_start[sorted_nodes[starts]] = starts
@@ -391,10 +394,10 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
     comp_sorted_d = comp_dup[ordc]
     cyc_sorted_d = cyc_dup[ordc]
     seg_sorted_d = seg_dup[ordc]
-    grp_starts = np.flatnonzero(
-        np.r_[True, (comp_sorted_d[1:] != comp_sorted_d[:-1]) | (cyc_sorted_d[1:] != cyc_sorted_d[:-1])]
+    grp_starts, grp_ends = _run_bounds(
+        (comp_sorted_d[1:] != comp_sorted_d[:-1]) | (cyc_sorted_d[1:] != cyc_sorted_d[:-1]),
+        len(ordc),
     )
-    grp_ends = np.r_[grp_starts[1:], len(ordc)]
     cyc_segs_by_comp: dict[int, dict[int, np.ndarray]] = {}
     for s, e in zip(grp_starts.tolist(), grp_ends.tolist()):
         cyc_segs_by_comp.setdefault(int(comp_sorted_d[s]), {})[int(cyc_sorted_d[s])] = seg_sorted_d[s:e]
@@ -471,8 +474,7 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
     ordl = np.argsort(cyc_dup, kind="stable")
     cyc_sorted_l = cyc_dup[ordl]
     seg_sorted_l = seg_dup[ordl]
-    sl_starts = np.flatnonzero(np.r_[True, cyc_sorted_l[1:] != cyc_sorted_l[:-1]])
-    sl_ends = np.r_[sl_starts[1:], len(ordl)]
+    sl_starts, sl_ends = _run_bounds(cyc_sorted_l[1:] != cyc_sorted_l[:-1], len(ordl))
     seg_lists: dict[int, list[int]] = {
         int(cyc_sorted_l[s]): seg_sorted_l[s:e].tolist()
         for s, e in zip(sl_starts.tolist(), sl_ends.tolist())

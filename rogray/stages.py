@@ -781,7 +781,9 @@ def _assemble(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) -> pa.T
     side[flip] = -1
     order = np.lexsort((segs[:, 3], segs[:, 2], segs[:, 1], segs[:, 0]))
     segs, side, tileb = segs[order], side[order], tileb[order]
-    same_prev = np.r_[False, np.all(segs[1:] == segs[:-1], axis=1)]
+    same_prev = np.empty(len(segs), dtype=bool)
+    same_prev[0] = False
+    np.all(segs[1:] == segs[:-1], axis=1, out=same_prev[1:])
     run_id = np.cumsum(~same_prev)
     pos = np.zeros(run_id.max() + 1, dtype=np.int64)
     neg = np.zeros(run_id.max() + 1, dtype=np.int64)
