@@ -271,6 +271,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_heavy_hitters": lambda sf: __import__(
             "rogray.corpus", fromlist=["heavy_hitters"]
         ).heavy_hitters(_docs(sf)),
+        "bigram_pmi": lambda sf: __import__(
+            "rogray.corpus", fromlist=["bigram_pmi"]
+        ).bigram_pmi(_docs(sf)),
+        "inverted_index_stats": lambda sf: __import__(
+            "rogray.corpus", fromlist=["inverted_index_stats"]
+        ).inverted_index_stats(_docs(sf)),
         "source_distinct_terms": lambda sf: __import__(
             "rogray.corpus", fromlist=["source_distinct_terms"]
         ).source_distinct_terms(_docs(sf)),
@@ -353,6 +359,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_heavy_hitters": __import__(
             "rogray.corpus", fromlist=["heavy_hitters_sql"]
         ).heavy_hitters_sql(),
+        "bigram_pmi": __import__(
+            "rogray.corpus", fromlist=["bigram_pmi_sql"]
+        ).bigram_pmi_sql(),
+        "inverted_index_stats": __import__(
+            "rogray.corpus", fromlist=["inverted_index_stats_sql"]
+        ).inverted_index_stats_sql(),
         "source_distinct_terms": __import__(
             "rogray.corpus", fromlist=["source_distinct_terms_sql"]
         ).source_distinct_terms_sql(),

@@ -416,3 +416,273 @@ def source_distinct_terms_hll(ds):
         .groupby("source")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def bigram_pmi(ds, k: int = 50, min_count: int = 5):
+    """Top-k collocations by pointwise mutual information (exact).
+
+    Shape: per-batch partial Counters collapse token/bigram streams to
+    (key, cnt) rows before any shuffle; unigram totals attach to the
+    bigram table via TWO term-keyed bucket shuffles (first word, then
+    second word) — no corpus-sized broadcast, no driver loop.  The final
+    sort+limit runs on collocation-vocabulary-sized data.
+
+    pmi = ln(c_ab) + 2*ln(T1) - ln(T2) - ln(c_a) - ln(c_b), evaluated
+    left-to-right in doubles with libm ln — bit-identical to DuckDB's
+    expression in bigram_pmi_sql(), so pmi_x1000 (half-away rounding)
+    hash-matches exactly.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def parts(t: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for s in t["text"].to_pylist():
+            toks = _TOKEN.findall((s or "").lower())
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        keys = [f"u\x00{w}" for w in uni] + [f"b\x00{a}\x00{b}" for a, b in bi]
+        cnts = list(uni.values()) + list(bi.values())
+        return pa.table(
+            {"key": pa.array(keys, pa.string()), "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(parts, batch_format="pyarrow").groupby("key").sum("cnt")
+    ).materialize()  # vocabulary-sized; read twice below (uni / bi split)
+
+    def split(prefix: str):
+        def f(t: pa.Table) -> pa.Table:
+            keys = t["key"].to_pylist()
+            cnt = t["sum(cnt)"].to_numpy()
+            rows = [(kk.split("\x00"), int(c)) for kk, c in zip(keys, cnt)
+                    if kk.startswith(prefix)]
+            if prefix == "u\x00":
+                return pa.table(
+                    {
+                        "term": pa.array([p[1] for p, _ in rows], pa.string()),
+                        "c_term": pa.array([c for _, c in rows], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "w1": pa.array([p[1] for p, _ in rows], pa.string()),
+                    "w2": pa.array([p[2] for p, _ in rows], pa.string()),
+                    "c_ab": pa.array([c for _, c in rows], pa.int64()),
+                }
+            )
+
+        f.__name__ = f"split_{prefix[0]}"
+        return f
+
+    uni_ds = counts.map_batches(split("u\x00"), batch_format="pyarrow")
+    bi_ds = counts.map_batches(split("b\x00"), batch_format="pyarrow")
+    t1 = int(uni_ds.aggregate(Sum("c_term", alias_name="s"))["s"])
+    t2 = int(bi_ds.aggregate(Sum("c_ab", alias_name="s"))["s"])
+
+    nb = _n_buckets_for(t1 // 64 + 1)
+
+    def _attach(cur, word_col: str, out_col: str):
+        """One bucketed shuffle: bigram rows and unigram rows meet at the
+        hash bucket of `word_col`; counts attach via a pandas merge."""
+        have_ca = word_col == "w2"
+        schema = pa.schema(
+            [
+                ("wb", pa.int64()),
+                ("w1", pa.string()),
+                ("w2", pa.string()),
+                ("c_ab", pa.int64()),
+                ("c_a", pa.int64()),
+                ("term", pa.string()),
+                ("c_term", pa.int64()),
+            ]
+        )
+
+        def tag_bi(t: pa.Table) -> pa.Table:
+            n = len(t)
+            w = t[word_col].to_pylist()
+            return pa.table(
+                {
+                    "wb": pa.array(
+                        [zlib.crc32(x.encode()) % nb for x in w], pa.int64()
+                    ),
+                    "w1": t["w1"].combine_chunks(),
+                    "w2": t["w2"].combine_chunks(),
+                    "c_ab": t["c_ab"].combine_chunks(),
+                    "c_a": t["c_a"].combine_chunks()
+                    if have_ca
+                    else pa.nulls(n, pa.int64()),
+                    "term": pa.nulls(n, pa.string()),
+                    "c_term": pa.nulls(n, pa.int64()),
+                },
+                schema=schema,
+            )
+
+        def tag_uni(t: pa.Table) -> pa.Table:
+            n = len(t)
+            w = t["term"].to_pylist()
+            return pa.table(
+                {
+                    "wb": pa.array(
+                        [zlib.crc32(x.encode()) % nb for x in w], pa.int64()
+                    ),
+                    "w1": pa.nulls(n, pa.string()),
+                    "w2": pa.nulls(n, pa.string()),
+                    "c_ab": pa.nulls(n, pa.int64()),
+                    "c_a": pa.nulls(n, pa.int64()),
+                    "term": t["term"].combine_chunks(),
+                    "c_term": t["c_term"].combine_chunks(),
+                },
+                schema=schema,
+            )
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            bi_rows = g[g["term"].isna()][
+                ["w1", "w2", "c_ab"] + (["c_a"] if have_ca else [])
+            ]
+            uni_rows = g[g["term"].notna()][["term", "c_term"]].rename(
+                columns={"term": word_col, "c_term": out_col}
+            )
+            out = bi_rows.merge(uni_rows, on=word_col, how="left")
+            out[out_col] = out[out_col].astype("int64")
+            return out
+
+        merge.__name__ = f"attach_{out_col}"
+        return (
+            cur.map_batches(tag_bi, batch_format="pyarrow")
+            .union(uni_ds.map_batches(tag_uni, batch_format="pyarrow"))
+            .groupby("wb")
+            .map_groups(merge, batch_format="pandas")
+        )
+
+    cur = _attach(bi_ds, "w1", "c_a")
+    cur = _attach(cur, "w2", "c_b")
+
+    def score(t: pa.Table) -> pa.Table:
+        cab = t["c_ab"].to_numpy()
+        ca = t["c_a"].to_numpy()
+        cb = t["c_b"].to_numpy()
+        keep = cab >= min_count
+        t = t.take(pa.array(np.flatnonzero(keep), pa.int64()))
+        cab, ca, cb = cab[keep], ca[keep], cb[keep]
+        pmi = [
+            math.log(float(a)) + 2.0 * math.log(float(t1)) - math.log(float(t2))
+            - math.log(float(x)) - math.log(float(y))
+            for a, x, y in zip(cab, ca, cb)
+        ]
+        px = np.asarray(pmi)
+        px1000 = (np.sign(px) * np.floor(np.abs(px) * 1000.0 + 0.5)).astype(np.int64)
+        bigram = [f"{a} {b}" for a, b in zip(t["w1"].to_pylist(), t["w2"].to_pylist())]
+        return pa.table(
+            {
+                "bigram": pa.array(bigram, pa.string()),
+                "c_ab": pa.array(cab, pa.int64()),
+                "pmi_x1000": pa.array(px1000, pa.int64()),
+            }
+        )
+
+    return (
+        cur.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_x1000", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def bigram_pmi_sql(k: int = 50, min_count: int = 5) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, u.tok AS tok, u.ord AS ord
+          FROM documents,
+               LATERAL (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+                        generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS ord) u
+        ),
+        uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        t1 AS (SELECT COUNT(*) AS n FROM toks),
+        bi AS (
+          SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS c_ab
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+          GROUP BY a.tok, b.tok
+        ),
+        t2 AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM bi)
+        SELECT w1 || ' ' || w2 AS bigram,
+               CAST(c_ab AS BIGINT) AS c_ab,
+               CAST(round((ln(CAST(c_ab AS DOUBLE)) + 2.0 * ln(CAST(t1.n AS DOUBLE))
+                     - ln(CAST(t2.n AS DOUBLE)) - ln(CAST(ua.c AS DOUBLE))
+                     - ln(CAST(ub.c AS DOUBLE))) * 1000) AS BIGINT) AS pmi_x1000
+        FROM bi, t1, t2
+        JOIN uni ua ON ua.tok = bi.w1
+        JOIN uni ub ON ub.tok = bi.w2
+        WHERE c_ab >= {min_count}
+        ORDER BY pmi_x1000 DESC, bigram
+        LIMIT {k}
+    """
+
+
+def inverted_index_stats(ds, min_df: int = 2, top_docs: int = 3):
+    """Posting-list statistics per term: document frequency, collection
+    frequency, and the head of the posting list (top docs by tf, ties by
+    doc_id) — the build step of a distributed inverted index.
+
+    Shape: _tf_rows pre-aggregates (doc, term, tf) inside each batch, the
+    single shuffle buckets terms by hash (~4k terms per Ray group), and
+    each bucket computes df/cf/head vectorized in pandas.  Output is
+    vocabulary-sized."""
+    n_docs = ds.count()
+    nb = _n_buckets_for(n_docs * 64)
+
+    def tag(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_pylist()
+        return t.append_column(
+            "tb", pa.array([zlib.crc32(x.encode()) % nb for x in terms], pa.int64())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "tf", "doc_id"], ascending=[True, False, True])
+        agg = g.groupby("term", as_index=False).agg(
+            df=("doc_id", "size"), cf=("tf", "sum")
+        )
+        heads = (
+            g.groupby("term", as_index=False)
+            .head(top_docs)
+            .groupby("term", as_index=False)
+            .agg(head_docs=("doc_id", lambda s: ",".join(map(str, s))))
+        )
+        out = agg.merge(heads, on="term")
+        return out[out["df"] >= min_df][["term", "df", "cf", "head_docs"]]
+
+    return (
+        ds.map_batches(_tf_rows, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(
+            lambda g: per_bucket(g.drop(columns=["tb"])), batch_format="pandas"
+        )
+        .sort("term")
+    )
+
+
+def inverted_index_stats_sql(min_df: int = 2, top_docs: int = 3) -> str:
+    return f"""
+        WITH tf AS (
+          SELECT doc_id, tok AS term, COUNT(*) AS tf
+          FROM documents,
+               LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
+          GROUP BY doc_id, tok
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                                       ORDER BY tf DESC, doc_id) AS rn
+          FROM tf
+        )
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS cf,
+               string_agg(CASE WHEN rn <= {top_docs} THEN CAST(doc_id AS VARCHAR) END,
+                          ',' ORDER BY rn) AS head_docs
+        FROM ranked
+        GROUP BY term
+        HAVING COUNT(*) >= {min_df}
+        ORDER BY term
+    """

@@ -148,3 +148,49 @@ class TestSamplingProperties:
         for src, grp in out.groupby("source"):
             r = sampling.source_permille(src)
             assert grp["permille"].eq(r).all()
+
+
+class TestBigramPMI:
+    def test_matches_oracle(self, ray_session):
+        import ray.data as rd
+
+        from rogray import corpus
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        got = corpus.bigram_pmi(ds).to_pandas()
+        want = _con().execute(corpus.bigram_pmi_sql()).df()
+        assert len(got) == len(want) == 50
+        assert _norm(got) == _norm(want)
+
+    def test_min_count_respected(self, ray_session):
+        import ray.data as rd
+
+        from rogray import corpus
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        got = corpus.bigram_pmi(ds, min_count=20).to_pandas()
+        assert (got["c_ab"] >= 20).all()
+
+
+class TestInvertedIndex:
+    def test_matches_oracle(self, ray_session):
+        import ray.data as rd
+
+        from rogray import corpus
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        got = corpus.inverted_index_stats(ds).to_pandas()
+        want = _con().execute(corpus.inverted_index_stats_sql()).df()
+        assert len(got) == len(want)
+        assert _norm(got) == _norm(want)
+
+    def test_head_is_postings_prefix(self, ray_session):
+        import ray.data as rd
+
+        from rogray import corpus
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        got = corpus.inverted_index_stats(ds).to_pandas()
+        n_heads = got["head_docs"].str.split(",").map(len)
+        assert (n_heads <= 3).all()
+        assert (n_heads <= got["df"]).all()
