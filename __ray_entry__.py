@@ -300,6 +300,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_brute_topk": ann_brute,
         "ann_ivf_topk": ann_ivf,
+        # --- rectangle layer: exact-SQL harness for the geometry engine ---
+        "rect_overlap_pairs": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_overlap_pairs"]
+        ).rect_overlap_pairs(sf),
+        "rect_coverage_depth": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_coverage_depth"]
+        ).rect_coverage_depth(sf),
+        "rect_pip_join": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_pip_join"]
+        ).rect_pip_join(sf),
     }
 
 
@@ -374,6 +384,18 @@ def oracle_sql() -> dict[str, str]:
         # source_distinct_terms_hll: sketch (no oracle); pytest asserts
         # <=5% error vs the exact source_distinct_terms twin
         "ann_brute_topk": similarity.brute_topk_sql([0, 1, 2, 3], 10),
+        # rectangle layer: the REAL detect / coverage-depth / PIP pipelines
+        # over an integer rectangle frame, recomputed independently by
+        # DuckDB with interval arithmetic (rogray/rectlayer.py)
+        "rect_overlap_pairs": __import__(
+            "rogray.rectlayer", fromlist=["rect_overlap_pairs_sql"]
+        ).rect_overlap_pairs_sql(),
+        "rect_coverage_depth": __import__(
+            "rogray.rectlayer", fromlist=["rect_coverage_depth_sql"]
+        ).rect_coverage_depth_sql(),
+        "rect_pip_join": __import__(
+            "rogray.rectlayer", fromlist=["rect_pip_join_sql"]
+        ).rect_pip_join_sql(),
         # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap
         # family and other geometry pipelines (DuckDB has no spatial ext
         # here), text_lang_id (heuristic), ann_ivf_topk (k-means training;

@@ -97,6 +97,67 @@ def find_overlap_gap(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | N
     )
 
 
+class TileCoverageDepth:
+    """groupby(tile).map_groups worker: area by coverage depth for one tile.
+
+    The coverage-depth histogram (how much area is covered by exactly d
+    inputs) is the layer-QA companion of the overlap/gap report — the
+    reference derives the same quantities from its pairwise overlap pass
+    (find_overlap_and_gap-pre.sql:619-692); here every arrangement face
+    contributes its area to its own depth bucket, so depth >= 3 regions are
+    counted once instead of once per pair.  Depth-0 faces (the tile's
+    outside-data portion) are skipped: their area depends on the tile frame,
+    not the layer.
+    """
+
+    def __init__(self, grid: GridConfig, utm: bool):
+        self.__name__ = "TileCoverageDepth"
+        self.grid = grid
+        self.utm = utm
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        g = self.grid
+        tile = int(group["tile"][0].as_py())
+        bounds = quadkey.cell_bounds_px(np.uint64(tile), g.span_px)
+        pks = group["pk"].to_numpy()
+        rings_col = group["rings"].to_pylist()
+        polys = [
+            (int(pks[i]), stages.unpack_rings(rings_col[i])[0])
+            for i in range(len(group))
+        ]
+        faces = arrangement.overlay_tile(polys, bounds)
+        by_depth: dict[int, float] = {}
+        for f in faces:
+            d = len(f.cov)
+            if d == 0:
+                continue
+            if self.utm:
+                a = core.planar_area(f.rings, g.precision)
+            else:
+                a = core.geodesic_area(f.rings, g.origin_x, g.origin_y, g.precision)
+            by_depth[d] = by_depth.get(d, 0.0) + a
+        depths = sorted(by_depth)
+        return pa.table(
+            {
+                "tile": pa.array([tile] * len(depths), pa.int64()),
+                "depth": pa.array(depths, pa.int64()),
+                "area": pa.array([by_depth[d] for d in depths], pa.float64()),
+            }
+        )
+
+
+def coverage_depth(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | None = None):
+    """documents Dataset -> per-tile (depth, area) coverage histogram."""
+    cfg = cfg or ResolveConfig()
+    plan = plan or prepare(ds, cfg)
+    t = cfg.topology
+    unwrapped = ds.map_batches(stages.Unwrap(plan.grid), batch_format="pyarrow")
+    routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
+    return routed.groupby("tile").map_groups(
+        TileCoverageDepth(plan.grid, t.utm), batch_format="pyarrow"
+    )
+
+
 class TileEdges:
     """groupby(tile).map_groups worker: the topology EDGE listing.
 

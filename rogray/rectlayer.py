@@ -1,0 +1,287 @@
+"""Axis-aligned rectangle layer: the exact-SQL harness for the geometry engine.
+
+Derives one rectangle per ``part`` row with pure integer arithmetic on
+``p_partkey`` (the same formulas appear verbatim in the DuckDB oracles) and
+drives the REAL geometry pipelines — Unwrap -> Route -> tile overlay ->
+detect / coverage-depth / point-in-polygon — over a fixed integer frame
+(origin (0,0), precision 1, planar).  On that frame every coordinate,
+axis-parallel intersection and face area is exact integer math, so DuckDB
+recomputes the results independently with interval arithmetic and unit-cell
+enumeration:
+
+- ``rect_overlap_pairs``: per unordered input pair, the total area of the
+  >=2-covered faces attributed to the pair by the real find_overlap_gap
+  report equals the rectangle intersection area
+  ``max(0, min(x2)-max(x1)) * max(0, min(y2)-max(y1))``.
+- ``rect_coverage_depth``: total area by coverage depth (>=1) equals the
+  unit-cell coverage histogram (every 1x1 cell has uniform depth because
+  all region boundaries are integer-aligned).
+- ``rect_pip_join``: containment pairs from the real point_in_polygon_join
+  operator; point coordinates are odd and rectangle edges even, so boundary
+  semantics can never disagree.
+
+This puts the overlap/gap report semantics of the reference
+(find_overlap_and_gap-pre.sql:619-692) and the PIP join under a hard
+value-hash oracle instead of hand-pinned goldens — the general polygon
+fixtures exercise the same code paths with rows-only checks.
+
+The engine's stable_pk keeps numeric doc_ids as their own value
+(rogray/ids.py:19), so the pks in the reports ARE the part keys — no
+back-map is needed and every stage streams.  Rectangle ids stay below
+2^31 so int64 areas are exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import stages
+from .config import GridConfig, ResolveConfig, TopologyConfig
+from .geom import wkb
+from .pipelines import detect
+from .pipelines.resolve import ResolvePlan
+from . import spans as spans_mod
+
+# Frame: all rectangles live in [0, 2320]^2 <= span 4096 (power of two).
+_SPAN = 4096.0
+_GMOD = 48  # grid cells per axis before the key wraps (stacking = overlap)
+_PITCH = 24  # half-pitch; x coordinates are doubled so edges are even
+
+# Rectangle corner formulas — keep in exact sync with _RECT_CTE below.
+#   gx = k % 48, gy = (k // 48) % 48
+#   x1 = 2*(gx*24 + (k*7) % 11)    width  = 2*(6 + (k*5) % 17)
+#   y1 = 2*(gy*24 + (k*11) % 13)   height = 2*(6 + (k*3) % 19)
+_RECT_CTE = """
+rect AS (
+    SELECT p_partkey AS k,
+           2 * ((p_partkey % 48) * 24 + (p_partkey * 7) % 11) AS x1,
+           2 * (((p_partkey // 48) % 48) * 24 + (p_partkey * 11) % 13) AS y1,
+           2 * ((p_partkey % 48) * 24 + (p_partkey * 7) % 11)
+             + 2 * (6 + (p_partkey * 5) % 17) AS x2,
+           2 * (((p_partkey // 48) % 48) * 24 + (p_partkey * 11) % 13)
+             + 2 * (6 + (p_partkey * 3) % 19) AS y2
+    FROM part
+)"""
+
+# Point formulas (one point per customer row) — odd coordinates, in-frame.
+_POINT_CTE = """
+pt AS (
+    SELECT c_custkey AS point_id,
+           2 * ((c_custkey * 13) % 1150) + 1 AS px,
+           2 * ((c_custkey * 17) % 1150) + 1 AS py
+    FROM customer
+)"""
+
+
+def rect_corners(k: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(x1, y1, x2, y2) int64 arrays for part keys k (see _RECT_CTE)."""
+    k = np.asarray(k, dtype=np.int64)
+    gx = k % _GMOD
+    gy = (k // _GMOD) % _GMOD
+    x1 = 2 * (gx * _PITCH + (k * 7) % 11)
+    y1 = 2 * (gy * _PITCH + (k * 11) % 13)
+    x2 = x1 + 2 * (6 + (k * 5) % 17)
+    y2 = y1 + 2 * (6 + (k * 3) % 19)
+    return x1, y1, x2, y2
+
+
+def point_coords(c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(px, py) odd int64 arrays for customer keys c (see _POINT_CTE)."""
+    c = np.asarray(c, dtype=np.int64)
+    return 2 * ((c * 13) % 1150) + 1, 2 * ((c * 17) % 1150) + 1
+
+
+def _rects_to_docs(t: pa.Table) -> pa.Table:
+    k = t["p_partkey"].to_numpy().astype(np.int64)
+    x1, y1, x2, y2 = rect_corners(k)
+    doc_ids, span_lists = [], []
+    for i in range(len(k)):
+        ring = np.array(
+            [
+                [x1[i], y1[i]],
+                [x2[i], y1[i]],
+                [x2[i], y2[i]],
+                [x1[i], y2[i]],
+            ],
+            dtype=np.float64,
+        )
+        doc_ids.append(str(int(k[i])))
+        span_lists.append(
+            [(spans_mod.GEOMETRY_KIND, wkb.encode_polygon([ring]).hex(), "", 0)]
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "spans": spans_mod.make_spans_column(span_lists),
+        }
+    )
+
+
+def rect_docs(sf_dir: str):
+    """part parquet -> span-wrapped rectangle document Dataset (streaming)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    return ds.map_batches(_rects_to_docs, batch_format="pyarrow")
+
+
+def rect_cfg(max_rows: int = 400, base_level: int = 3) -> ResolveConfig:
+    return ResolveConfig(
+        topology=TopologyConfig(
+            snap_tolerance=1.0,
+            utm=True,
+            max_rows_in_each_cell=max_rows,
+            base_level=base_level,
+        )
+    )
+
+
+def rect_plan(docs, cfg: ResolveConfig) -> ResolvePlan:
+    """Fixed integer frame (origin 0, span 4096, precision 1): snapping is
+    the identity on the integer rectangle corners, so every downstream
+    intersection and area is exact."""
+    t = cfg.topology
+    grid = GridConfig(origin_x=0.0, origin_y=0.0, span=_SPAN, precision=1.0)
+    cut = stages.compute_cut(
+        docs,
+        grid,
+        t.base_level,
+        min(t.base_level + t.histogram_extra_levels, grid.max_level()),
+        t.max_rows_in_each_cell,
+    )
+    return ResolvePlan(grid, cut, len(cut.leaves))
+
+
+def rect_overlap_pairs(sf_dir: str):
+    """Real find_overlap_gap over the rectangle layer -> per-pair area.
+
+    Output: (id1, id2, overlap_px2) with id1 < id2 by rectangle id; exact
+    int64 areas in snap-pixel^2.
+    """
+    docs = rect_docs(sf_dir)
+    cfg = rect_cfg()
+    plan = rect_plan(docs, cfg)
+    rep = detect.find_overlap_gap(docs, cfg, plan)
+
+    def only_overlap(t: pa.Table) -> pa.Table:
+        # pk == rect id (numeric doc_id fast path); TileDetect already
+        # emits pairs with id1 < id2
+        t = t.filter(pc.equal(t["kind"], "overlap"))
+        return t.select(["id1", "id2", "area"])
+
+    agg = rep.map_batches(only_overlap, batch_format="pyarrow").groupby(
+        ["id1", "id2"]
+    ).sum("area")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id1": t["id1"].combine_chunks(),
+                "id2": t["id2"].combine_chunks(),
+                "overlap_px2": pc.round(t["sum(area)"]).cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rect_overlap_pairs_sql() -> str:
+    return f"""
+WITH {_RECT_CTE}
+SELECT a.k AS id1, b.k AS id2,
+       (LEAST(a.x2, b.x2) - GREATEST(a.x1, b.x1))
+     * (LEAST(a.y2, b.y2) - GREATEST(a.y1, b.y1)) AS overlap_px2
+FROM rect a JOIN rect b
+  ON a.k < b.k
+ AND a.x1 < b.x2 AND b.x1 < a.x2
+ AND a.y1 < b.y2 AND b.y1 < a.y2
+ORDER BY id1, id2
+"""
+
+
+def rect_coverage_depth(sf_dir: str):
+    """Real coverage_depth pipeline -> (depth, area_px2) histogram."""
+    docs = rect_docs(sf_dir)
+    cfg = rect_cfg()
+    plan = rect_plan(docs, cfg)
+    rep = detect.coverage_depth(docs, cfg, plan)
+    agg = rep.groupby("depth").sum("area")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "depth": t["depth"].combine_chunks(),
+                "area_px2": pc.round(t["sum(area)"]).cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rect_coverage_depth_sql() -> str:
+    return f"""
+WITH {_RECT_CTE},
+xs AS (
+    SELECT y1, y2, unnest(generate_series(x1, x2 - 1)) AS cx FROM rect
+),
+cells AS (
+    SELECT cx, unnest(generate_series(y1, y2 - 1)) AS cy FROM xs
+),
+cov AS (
+    SELECT cx, cy, COUNT(*) AS depth FROM cells GROUP BY 1, 2
+)
+SELECT depth, COUNT(*)::BIGINT AS area_px2
+FROM cov GROUP BY depth ORDER BY depth
+"""
+
+
+def rect_pip_join(sf_dir: str):
+    """Real point_in_polygon_join: customer-derived points x rectangles."""
+    import ray.data as rd
+
+    from . import spatial_query
+
+    docs = rect_docs(sf_dir)
+    cfg = rect_cfg()
+    plan = rect_plan(docs, cfg)
+
+    def points(t: pa.Table) -> pa.Table:
+        c = t["c_custkey"].to_numpy().astype(np.int64)
+        px, py = point_coords(c)
+        return pa.table(
+            {
+                "point_id": pa.array(c, pa.int64()),
+                "x": pa.array(px.astype(np.float64), pa.float64()),
+                "y": pa.array(py.astype(np.float64), pa.float64()),
+            }
+        )
+
+    pts = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
+        points, batch_format="pyarrow"
+    )
+    res = spatial_query.point_in_polygon_join(pts, docs, cfg, plan)
+
+    def rename(t: pa.Table) -> pa.Table:
+        # pk == rect id (numeric doc_id fast path)
+        return pa.table(
+            {
+                "point_id": t["point_id"].combine_chunks(),
+                "rect_id": t["pk"].combine_chunks(),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def rect_pip_join_sql() -> str:
+    return f"""
+WITH {_RECT_CTE},
+{_POINT_CTE}
+SELECT pt.point_id, rect.k AS rect_id
+FROM pt JOIN rect
+  ON pt.px > rect.x1 AND pt.px < rect.x2
+ AND pt.py > rect.y1 AND pt.py < rect.y2
+ORDER BY 1, 2
+"""

@@ -1,0 +1,89 @@
+"""Rectangle-layer oracle harness (rogray/rectlayer.py): the REAL geometry
+pipelines — find_overlap_gap, coverage_depth, point_in_polygon_join — over
+an exact integer rectangle frame, value-compared against independent DuckDB
+interval-arithmetic oracles at sf0.001 (the driver repeats the same checks
+at sf0.01)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from rogray import rectlayer
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_con():
+    con = duckdb.connect()
+    for t in ("part", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _assert_exact(ds, sql):
+    got = ds.to_pandas()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    want = (
+        _oracle_con().execute(sql).df()[cols].sort_values(cols).reset_index(drop=True)
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    return got
+
+
+class TestRectFormulas:
+    def test_corners_match_sql(self):
+        k = np.arange(1, 3000, dtype=np.int64)
+        x1, y1, x2, y2 = rectlayer.rect_corners(k)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW part AS SELECT unnest(range(1, 3000)) AS p_partkey")
+        df = con.execute(f"WITH {rectlayer._RECT_CTE} SELECT * FROM rect ORDER BY k").df()
+        assert (df["x1"].to_numpy() == x1).all()
+        assert (df["y1"].to_numpy() == y1).all()
+        assert (df["x2"].to_numpy() == x2).all()
+        assert (df["y2"].to_numpy() == y2).all()
+
+    def test_edges_even_points_odd_in_frame(self):
+        k = np.arange(1, 30000, dtype=np.int64)
+        x1, y1, x2, y2 = rectlayer.rect_corners(k)
+        for a in (x1, y1, x2, y2):
+            assert (a % 2 == 0).all() and (a >= 0).all()
+        assert int(max(x2.max(), y2.max())) < rectlayer._SPAN
+        px, py = rectlayer.point_coords(k)
+        assert (px % 2 == 1).all() and (py % 2 == 1).all()
+        assert int(max(px.max(), py.max())) < rectlayer._SPAN
+
+
+class TestRectOracles:
+    def test_overlap_pairs_exact(self, ray_session):
+        got = _assert_exact(
+            rectlayer.rect_overlap_pairs(SF), rectlayer.rect_overlap_pairs_sql()
+        )
+        assert len(got) > 0 and (got["overlap_px2"] > 0).all()
+
+    def test_coverage_depth_exact(self, ray_session):
+        got = _assert_exact(
+            rectlayer.rect_coverage_depth(SF), rectlayer.rect_coverage_depth_sql()
+        )
+        # depth>=2 area must equal the inclusion-exclusion-free bound:
+        # sum over depths of area == union area <= sum of rect areas
+        assert got["depth"].min() == 1 and got["depth"].max() >= 2
+
+    def test_pip_join_exact(self, ray_session):
+        got = _assert_exact(rectlayer.rect_pip_join(SF), rectlayer.rect_pip_join_sql())
+        assert len(got) > 0
+
+    def test_depth_union_consistent_with_rect_areas(self, ray_session):
+        """Union area (sum over depth buckets) + pairwise overlap structure:
+        sum(depth * area) over buckets == total rect area (every rect
+        counted once per unit cell it covers)."""
+        import pyarrow.parquet as pq
+
+        got = rectlayer.rect_coverage_depth(SF).to_pandas()
+        k = pq.read_table(f"{SF}/part.parquet", columns=["p_partkey"])[
+            "p_partkey"
+        ].to_numpy()
+        x1, y1, x2, y2 = rectlayer.rect_corners(k.astype(np.int64))
+        total = int(((x2 - x1) * (y2 - y1)).sum())
+        assert int((got["depth"] * got["area_px2"]).sum()) == total
