@@ -310,6 +310,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_pip_join": lambda sf: __import__(
             "rogray.rectlayer", fromlist=["rect_pip_join"]
         ).rect_pip_join(sf),
+        "rect_resolve_winner_areas": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_resolve_winner_areas"]
+        ).rect_resolve_winner_areas(sf),
+        "rect_resolve_cov_areas": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_resolve_cov_areas"]
+        ).rect_resolve_cov_areas(sf),
     }
 
 
@@ -396,6 +402,14 @@ def oracle_sql() -> dict[str, str]:
         "rect_pip_join": __import__(
             "rogray.rectlayer", fromlist=["rect_pip_join_sql"]
         ).rect_pip_join_sql(),
+        # the flagship resolve pipeline itself (stitch + finalize +
+        # attribution included): winner = MIN covering id per unit cell
+        "rect_resolve_winner_areas": __import__(
+            "rogray.rectlayer", fromlist=["rect_resolve_winner_areas_sql"]
+        ).rect_resolve_winner_areas_sql(),
+        "rect_resolve_cov_areas": __import__(
+            "rogray.rectlayer", fromlist=["rect_resolve_cov_areas_sql"]
+        ).rect_resolve_cov_areas_sql(),
         # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap
         # family and other geometry pipelines (DuckDB has no spatial ext
         # here), text_lang_id (heuristic), ann_ivf_topk (k-means training;

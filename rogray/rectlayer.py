@@ -275,6 +275,119 @@ def rect_pip_join(sf_dir: str):
     return res.map_batches(rename, batch_format="pyarrow")
 
 
+def rect_resolve_winner_areas(sf_dir: str):
+    """Real resolve_overlap_gap (route -> overlay -> stitch -> finalize ->
+    attribution) over the rectangle layer -> per-winner resolved area.
+
+    Attribution (JT7, cell.sql:833-873): every covering input owns 100% of
+    an atomic face, so the pk-ascending tiebreak picks the minimum rect id
+    — which DuckDB recomputes per unit cell as MIN(k).  An exact value
+    match here pins the whole flagship pipeline, stitch and finalize
+    included.
+    """
+    from .pipelines import resolve
+
+    docs = rect_docs(sf_dir)
+    cfg = rect_cfg()
+    plan = rect_plan(docs, cfg)
+    res = resolve.resolve_overlap_gap(docs, cfg, plan)
+
+    def rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["winner_pk"], 0))
+        return pa.table(
+            {
+                "winner_id": t["winner_pk"].combine_chunks(),
+                "area": t["area"].combine_chunks(),
+            }
+        )
+
+    agg = res.map_batches(rows, batch_format="pyarrow").groupby("winner_id").sum("area")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "winner_id": t["winner_id"].combine_chunks(),
+                "area_px2": pc.round(t["sum(area)"]).cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rect_resolve_winner_areas_sql() -> str:
+    return f"""
+WITH {_RECT_CTE},
+xs AS (
+    SELECT k, y1, y2, unnest(generate_series(x1, x2 - 1)) AS cx FROM rect
+),
+cells AS (
+    SELECT k, cx, unnest(generate_series(y1, y2 - 1)) AS cy FROM xs
+),
+win AS (
+    SELECT cx, cy, MIN(k) AS winner_id FROM cells GROUP BY 1, 2
+)
+SELECT winner_id, COUNT(*)::BIGINT AS area_px2
+FROM win GROUP BY winner_id ORDER BY winner_id
+"""
+
+
+def rect_resolve_cov_areas(sf_dir: str):
+    """Per-coverage-set resolved area: pins winner AND the
+    other_intersect_id_list of every face (cell.sql:833-873's
+    _other_intersect_id_list) against DuckDB's per-cell covering set."""
+    from .pipelines import resolve
+
+    docs = rect_docs(sf_dir)
+    cfg = rect_cfg()
+    plan = rect_plan(docs, cfg)
+    res = resolve.resolve_overlap_gap(docs, cfg, plan)
+
+    def rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["winner_pk"], 0))
+        w = t["winner_pk"].to_numpy()
+        others = t["other_intersect_id_list"].to_pylist()
+        keys = [
+            ",".join(str(v) for v in sorted([int(w[i])] + list(others[i])))
+            for i in range(len(t))
+        ]
+        return pa.table(
+            {
+                "cov_key": pa.array(keys, pa.string()),
+                "area": t["area"].combine_chunks(),
+            }
+        )
+
+    agg = res.map_batches(rows, batch_format="pyarrow").groupby("cov_key").sum("area")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cov_key": t["cov_key"].combine_chunks(),
+                "area_px2": pc.round(t["sum(area)"]).cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rect_resolve_cov_areas_sql() -> str:
+    return f"""
+WITH {_RECT_CTE},
+xs AS (
+    SELECT k, y1, y2, unnest(generate_series(x1, x2 - 1)) AS cx FROM rect
+),
+cells AS (
+    SELECT k, cx, unnest(generate_series(y1, y2 - 1)) AS cy FROM xs
+),
+cov AS (
+    SELECT cx, cy, STRING_AGG(CAST(k AS VARCHAR), ',' ORDER BY k) AS cov_key
+    FROM cells GROUP BY 1, 2
+)
+SELECT cov_key, COUNT(*)::BIGINT AS area_px2
+FROM cov GROUP BY cov_key ORDER BY cov_key
+"""
+
+
 def rect_pip_join_sql() -> str:
     return f"""
 WITH {_RECT_CTE},

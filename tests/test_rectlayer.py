@@ -74,6 +74,28 @@ class TestRectOracles:
         got = _assert_exact(rectlayer.rect_pip_join(SF), rectlayer.rect_pip_join_sql())
         assert len(got) > 0
 
+    def test_resolve_winner_areas_exact(self, ray_session):
+        """The FULL flagship pipeline (route -> overlay -> stitch ->
+        finalize -> attribution) against the per-cell MIN(k) oracle."""
+        got = _assert_exact(
+            rectlayer.rect_resolve_winner_areas(SF),
+            rectlayer.rect_resolve_winner_areas_sql(),
+        )
+        assert (got["area_px2"] > 0).all()
+
+    def test_resolve_cov_areas_exact(self, ray_session):
+        ds = rectlayer.rect_resolve_cov_areas(SF)
+        got = ds.to_pandas()
+        want = (
+            _oracle_con().execute(rectlayer.rect_resolve_cov_areas_sql()).df()
+        )
+        got = got.sort_values(["cov_key"]).reset_index(drop=True)
+        want = want.sort_values(["cov_key"]).reset_index(drop=True)
+        assert got["cov_key"].tolist() == want["cov_key"].tolist()
+        assert got["area_px2"].astype("int64").tolist() == want[
+            "area_px2"
+        ].astype("int64").tolist()
+
     def test_depth_union_consistent_with_rect_areas(self, ray_session):
         """Union area (sum over depth buckets) + pairwise overlap structure:
         sum(depth * area) over buckets == total rect area (every rect
