@@ -6,9 +6,13 @@ here (nor in the rogray library) calls ray.init()/ray.shutdown().
 queries() covers the operator inventory of SURVEY.md section 2 plus the
 training-data operators (dedup / similarity / text analysis).  Entries with
 an oracle_sql() twin are value-checked against DuckDB by the driver;
-geometry pipelines (not SQL-expressible) get rows-only checks and are
-instead cross-checked by tests/test_resolve_pipeline.py (tiling
-independence, golden counts, span passthrough).
+free-form geometry pipelines get rows-only checks and are cross-checked by
+tests/test_resolve_pipeline.py (tiling independence, golden counts, span
+passthrough) plus pinned value hashes.  The same geometry CODE PATHS are
+additionally under exact DuckDB oracles via the rect_* queries
+(rogray/rectlayer.py): an integer rectangle layer where detect, resolve
+(stitch/finalize/attribution included), extract_edges and the PIP join are
+recomputed independently with interval arithmetic.
 """
 
 from __future__ import annotations
@@ -316,6 +320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_resolve_cov_areas": lambda sf: __import__(
             "rogray.rectlayer", fromlist=["rect_resolve_cov_areas"]
         ).rect_resolve_cov_areas(sf),
+        "rect_edge_pairs_len": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_edge_pairs_len"]
+        ).rect_edge_pairs_len(sf),
     }
 
 
@@ -410,6 +417,12 @@ def oracle_sql() -> dict[str, str]:
         "rect_resolve_cov_areas": __import__(
             "rogray.rectlayer", fromlist=["rect_resolve_cov_areas_sql"]
         ).rect_resolve_cov_areas_sql(),
+        # the noding/edge-attribution path: boundary length between each
+        # unordered pair of coverage regions == differing 4-neighbour
+        # unit-cell pairs
+        "rect_edge_pairs_len": __import__(
+            "rogray.rectlayer", fromlist=["rect_edge_pairs_len_sql"]
+        ).rect_edge_pairs_len_sql(),
         # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap
         # family and other geometry pipelines (DuckDB has no spatial ext
         # here), text_lang_id (heuristic), ann_ivf_topk (k-means training;

@@ -97,6 +97,51 @@ def find_overlap_gap(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | N
     )
 
 
+def _clip_seg_to_tile(
+    ax: int, ay: int, bx: int, by: int, x0: int, y0: int, x1: int, y1: int
+) -> tuple[int, int, int, int] | None:
+    """Liang-Barsky clip of an integer segment to the closed tile box.
+
+    Border crossings are rounded half-away to the snap grid — both tiles
+    derive the crossing from the same input line, so the rounded split
+    point is identical on either side and pieces abut exactly.  Returns
+    None for pieces outside the box or that round to zero length.
+    """
+    dx = bx - ax
+    dy = by - ay
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, ax - x0), (dx, x1 - ax), (-dy, ay - y0), (dy, y1 - ay)):
+        if p == 0:
+            if q < 0:
+                return None
+        else:
+            r = q / p
+            if p < 0:
+                if r > t1:
+                    return None
+                if r > t0:
+                    t0 = r
+            else:
+                if r < t0:
+                    return None
+                if r < t1:
+                    t1 = r
+    if t0 > t1:
+        return None
+    import math
+
+    def _rnd(v: float, lo: int, hi: int) -> int:
+        return min(max(int(math.floor(v + 0.5)), lo), hi)
+
+    nax = _rnd(ax + t0 * dx, x0, x1) if t0 > 0.0 else ax
+    nay = _rnd(ay + t0 * dy, y0, y1) if t0 > 0.0 else ay
+    nbx = _rnd(ax + t1 * dx, x0, x1) if t1 < 1.0 else bx
+    nby = _rnd(ay + t1 * dy, y0, y1) if t1 < 1.0 else by
+    if nax == nbx and nay == nby:
+        return None
+    return nax, nay, nbx, nby
+
+
 class TileCoverageDepth:
     """groupby(tile).map_groups worker: area by coverage depth for one tile.
 
@@ -222,20 +267,33 @@ class TileEdges:
         out = {k: [] for k in ("x1", "y1", "x2", "y2", "length", "left_cov", "right_cov", "source_pks")}
         for k in range(len(arr.segs)):
             s = arr.segs[k]
-            mx = (int(s[0]) + int(s[2])) / 2.0
-            my = (int(s[1]) + int(s[3])) / 2.0
-            # midpoint-in-tile ownership (half-open) -> globally unique
+            # clip to the owning tile FIRST: adjacent tiles node the same
+            # input edge against different residents, so whole-segment
+            # midpoint ownership can double-emit a piece with stale labels
+            # (a resident the other tile never saw) or drop it entirely
+            # when the two tiles split the edge differently.  Clipping at
+            # the tile rect makes ownership exact: every geometric piece
+            # inside a tile is emitted by that tile alone, labeled from
+            # the full local arrangement (all inputs intersecting the
+            # tile are routed to it).  Border-lying pieces keep the
+            # half-open midpoint rule (the right/top tile owns them).
+            piece = _clip_seg_to_tile(
+                int(s[0]), int(s[1]), int(s[2]), int(s[3]), x0, y0, x1, y1
+            )
+            if piece is None:
+                continue
+            ax, ay, bx, by = piece
+            mx = (ax + bx) / 2.0
+            my = (ay + by) / 2.0
             if not (x0 <= mx < x1 and y0 <= my < y1):
                 continue
             lc = arr.cycle_cov.get(int(arr.cycle_left[k]), frozenset())
             rc = arr.cycle_cov.get(int(arr.cycle_right[k]), frozenset())
-            out["x1"].append(int(s[0]))
-            out["y1"].append(int(s[1]))
-            out["x2"].append(int(s[2]))
-            out["y2"].append(int(s[3]))
-            out["length"].append(
-                math.hypot(int(s[2]) - int(s[0]), int(s[3]) - int(s[1])) * g.precision
-            )
+            out["x1"].append(ax)
+            out["y1"].append(ay)
+            out["x2"].append(bx)
+            out["y2"].append(by)
+            out["length"].append(math.hypot(bx - ax, by - ay) * g.precision)
             out["left_cov"].append(sorted(lc))
             out["right_cov"].append(sorted(rc))
             out["source_pks"].append(sorted({p for p, _ in arr.labels[k]}))

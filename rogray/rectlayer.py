@@ -388,6 +388,106 @@ FROM cov GROUP BY cov_key ORDER BY cov_key
 """
 
 
+def rect_edge_pairs_len(sf_dir: str):
+    """Real extract_edges (snap-round noding + polygonize adjacency labels)
+    -> total boundary length between each unordered pair of coverage
+    regions.
+
+    Every noded segment separates a left and a right coverage set; on the
+    integer rectangle frame each unit of its length is also a unit-cell
+    4-neighbour pair, so DuckDB recomputes the same totals by counting
+    neighbouring cells whose covering sets differ (missing cell = gap '').
+    Segments with equal sets on both sides (tile borders crossing a region
+    interior, frame edges inside gaps) separate nothing and are excluded on
+    both sides of the comparison.  This pins the edge_attributes path
+    (cell.sql:390-416 re-link semantics) to an exact value check.
+    """
+    docs = rect_docs(sf_dir)
+    cfg = rect_cfg()
+    plan = rect_plan(docs, cfg)
+    edges = detect.extract_edges(docs, cfg, plan)
+
+    def rows(t: pa.Table) -> pa.Table:
+        lc = t["left_cov"].to_pylist()
+        rc = t["right_cov"].to_pylist()
+        ln = t["length"].to_numpy()
+        cov_a, cov_b, length = [], [], []
+        for i in range(len(t)):
+            ka = ",".join(str(v) for v in sorted(lc[i]))
+            kb = ",".join(str(v) for v in sorted(rc[i]))
+            if ka == kb:
+                continue
+            if ka > kb:
+                ka, kb = kb, ka
+            cov_a.append(ka)
+            cov_b.append(kb)
+            length.append(float(ln[i]))
+        return pa.table(
+            {
+                "cov_a": pa.array(cov_a, pa.string()),
+                "cov_b": pa.array(cov_b, pa.string()),
+                "length": pa.array(length, pa.float64()),
+            }
+        )
+
+    agg = edges.map_batches(rows, batch_format="pyarrow").groupby(
+        ["cov_a", "cov_b"]
+    ).sum("length")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cov_a": t["cov_a"].combine_chunks(),
+                "cov_b": t["cov_b"].combine_chunks(),
+                "len_px": pc.round(t["sum(length)"]).cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rect_edge_pairs_len_sql() -> str:
+    # Unit-cell covering sets, then count 4-neighbour pairs with different
+    # sets; a missing neighbour is the gap region ''.  Each vertical cell
+    # pair is one unit of horizontal-boundary length and vice versa; LEFT
+    # JOIN a->right plus the reverse empty-left probe covers cell/empty
+    # frontiers exactly once per unordered pair.
+    return f"""
+WITH {_RECT_CTE},
+xs AS (
+    SELECT k, y1, y2, unnest(generate_series(x1, x2 - 1)) AS cx FROM rect
+),
+cells AS (
+    SELECT k, cx, unnest(generate_series(y1, y2 - 1)) AS cy FROM xs
+),
+cov AS (
+    SELECT cx, cy, STRING_AGG(CAST(k AS VARCHAR), ',' ORDER BY k) AS ck
+    FROM cells GROUP BY 1, 2
+),
+nbr AS (
+    SELECT a.ck AS ka, COALESCE(b.ck, '') AS kb
+    FROM cov a LEFT JOIN cov b ON b.cx = a.cx + 1 AND b.cy = a.cy
+    UNION ALL
+    SELECT COALESCE(a.ck, '') AS ka, b.ck AS kb
+    FROM cov b LEFT JOIN cov a ON a.cx = b.cx - 1 AND a.cy = b.cy
+    WHERE a.ck IS NULL
+    UNION ALL
+    SELECT a.ck AS ka, COALESCE(b.ck, '') AS kb
+    FROM cov a LEFT JOIN cov b ON b.cx = a.cx AND b.cy = a.cy + 1
+    UNION ALL
+    SELECT COALESCE(a.ck, '') AS ka, b.ck AS kb
+    FROM cov b LEFT JOIN cov a ON a.cx = b.cx AND a.cy = b.cy - 1
+    WHERE a.ck IS NULL
+)
+SELECT LEAST(ka, kb) AS cov_a, GREATEST(ka, kb) AS cov_b,
+       COUNT(*)::BIGINT AS len_px
+FROM nbr
+WHERE ka != kb
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def rect_pip_join_sql() -> str:
     return f"""
 WITH {_RECT_CTE},

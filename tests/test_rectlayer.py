@@ -24,10 +24,13 @@ def _oracle_con():
 def _assert_exact(ds, sql):
     got = ds.to_pandas()
     cols = sorted(got.columns)
-    got = got[cols].sort_values(cols).reset_index(drop=True).astype("int64")
-    want = (
-        _oracle_con().execute(sql).df()[cols].sort_values(cols).reset_index(drop=True)
-    ).astype("int64")
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = _oracle_con().execute(sql).df()[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        if got[c].dtype != object:
+            got[c] = got[c].astype("int64")
+        if want[c].dtype != object:
+            want[c] = want[c].astype("int64")
     pd.testing.assert_frame_equal(got, want)
     return got
 
@@ -95,6 +98,16 @@ class TestRectOracles:
         assert got["area_px2"].astype("int64").tolist() == want[
             "area_px2"
         ].astype("int64").tolist()
+
+    def test_edge_pairs_len_exact(self, ray_session):
+        """extract_edges (noding + adjacency labels + tile-clipped
+        ownership) against the 4-neighbour unit-cell boundary oracle.
+        This check found (and now pins the fix for) the round-3
+        double-emit/drop bug in whole-segment midpoint ownership."""
+        got = _assert_exact(
+            rectlayer.rect_edge_pairs_len(SF), rectlayer.rect_edge_pairs_len_sql()
+        )
+        assert len(got) > 0
 
     def test_depth_union_consistent_with_rect_areas(self, ray_session):
         """Union area (sum over depth buckets) + pairwise overlap structure:
