@@ -659,9 +659,66 @@ def _gram_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.array(sorted(hs), dtype=np.int64)
 
 
+# Broadcast the per-doc blob table through the object store when it is
+# smaller than this (materialized by workers, read zero-copy by every
+# attach task); above the limit, the bucketed shuffle join below is the
+# 100 TB path.  Same hybrid rule as the resolve finalize join.
+_BCAST_BLOB_LIMIT = 256 << 20
+_BCAST_BLOB_CACHE: dict = {}
+
+
+def _attach_pair_blobs_broadcast(cand, blob_ds, id_type, blob_col: str):
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["doc_id"].cast(pa.string()).combine_chunks(),
+                "blob": t[blob_col].cast(pa.large_binary()).combine_chunks(),
+            }
+        )
+
+    mat = blob_ds.map_batches(slim, batch_format="pyarrow").materialize()
+    refs = list(mat.to_arrow_refs())
+    cache_key = tuple(r.hex() for r in refs)
+    res_schema = pa.schema(
+        [("id_a", id_type), ("id_b", id_type),
+         ("blob_a", pa.large_binary()), ("blob_b", pa.large_binary())]
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        import ray
+
+        d = _BCAST_BLOB_CACHE.get(cache_key)
+        if d is None:
+            parts = [p for p in ray.get(list(refs)) if len(p)]
+            d = {}
+            for p in parts:
+                ks = p["k"].to_pylist()
+                bs = p["blob"].to_pylist()
+                d.update(zip(ks, bs))
+            _BCAST_BLOB_CACHE.clear()  # at most one payload per worker
+            _BCAST_BLOB_CACHE[cache_key] = d
+        ka = t["id_a"].cast(pa.string()).to_pylist()
+        kb = t["id_b"].cast(pa.string()).to_pylist()
+        return pa.table(
+            {
+                "id_a": t["id_a"].cast(id_type).combine_chunks(),
+                "id_b": t["id_b"].cast(id_type).combine_chunks(),
+                "blob_a": pa.array([d.get(k) for k in ka], pa.large_binary()),
+                "blob_b": pa.array([d.get(k) for k in kb], pa.large_binary()),
+            },
+            schema=res_schema,
+        )
+
+    attach.__name__ = f"attach_{blob_col}_bcast"
+    return cand.map_batches(attach, batch_format="pyarrow")
+
+
 def _attach_pair_blobs(cand, blob_ds, id_type, blob_col: str = "grams",
                        n_buckets: int = 199):
     """Attach ``blob_ds``'s per-doc blob to candidate pairs on BOTH ids.
+
+    Small blob side (by metadata bytes): object-store broadcast — the
+    pairs never enter an all-to-all.  Large side, the scheme below:
 
     Single-union scheme: the blob table ships through exactly ONE shuffle
     (keyed by doc-id hash bucket) where each pair's two HALF rows pick up
@@ -672,6 +729,14 @@ def _attach_pair_blobs(cand, blob_ds, id_type, blob_col: str = "grams",
     per-key map_groups groups would pay milliseconds of scheduling per
     doc.  cand: (id_a, id_b); blob_ds: (doc_id, <blob_col>).  Returns
     (id_a, id_b, blob_a, blob_b)."""
+    # both call sites pass MATERIALIZED blob tables, so size_bytes() is a
+    # free metadata lookup (a lazy ds would execute here — don't pass one)
+    try:
+        blob_bytes = blob_ds.size_bytes() or 0
+    except Exception:
+        blob_bytes = _BCAST_BLOB_LIMIT + 1
+    if blob_bytes <= _BCAST_BLOB_LIMIT:
+        return _attach_pair_blobs_broadcast(cand, blob_ds, id_type, blob_col)
 
     def bucket_of_str(vals: list[str]) -> pa.Array:
         return pa.array(

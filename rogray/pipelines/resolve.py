@@ -249,38 +249,70 @@ _JOIN_SCHEMA = pa.schema(
 )
 
 
+# Broadcast the doc payload through the object store when the input doc
+# table is smaller than this; above it, fall back to the reduce-side
+# bucketed shuffle join (the 100 TB path).  The broadcast side ships ONCE
+# via ray.put-style object refs built by workers — nothing is collected on
+# the driver in either path.
+_BCAST_JOIN_LIMIT = 256 << 20
+
+
+def _spans_payload_json(doc_spans: list[dict]) -> str:
+    """Doc spans -> compact JSON for the join payload.
+
+    The FIRST geometry span's text is blanked: FinalizeJoined rewrites it
+    to the output face's own WKB (spans.rewrite_geometry_span), so the
+    original hex — by far the largest field — never needs to ship.
+    """
+    import json
+
+    out = []
+    blanked = False
+    for sp in doc_spans:
+        txt = sp["text"]
+        if not blanked and sp["kind"] == spans_mod.GEOMETRY_KIND:
+            txt = ""
+            blanked = True
+        out.append([sp["kind"], txt, sp["media_ref"], sp["offset"]])
+    return json.dumps(out)
+
+
 def _finalize_join(stitched, ds, grid, utm):
-    """JT7 attribute copy (cell.sql:869-873) as a reduce-side join: face
-    rows and (pk, doc payload) rows shuffle to the same BUCKET of winner_pk
-    keys, and each bucket attaches winners to faces with one vectorized
-    searchsorted — grouping per pk would schedule one tiny group per output
-    face.  Bucket count scales with the doc count (~4k rows per group) so
-    groups stay bounded at 100 TB.  Task-pool sort shuffle throughout — no
-    join-aggregator actors to start (they also reserved CPUs on small
-    clusters), no driver materialization, and sorts consume the 0-row
-    schema-less blocks that crash Ray's hash-join schema broadcast."""
+    """JT7 attribute copy (cell.sql:869-873).
+
+    Small doc side (by parquet metadata bytes): object-store broadcast —
+    the slim (jk, doc_id, spans-json) payload is materialized to Arrow
+    object refs by workers, and every attach task reads it zero-copy; the
+    faces never enter an all-to-all.  Large doc side: reduce-side join —
+    face rows and doc rows shuffle to the same BUCKET of winner_pk keys,
+    and each bucket attaches winners with one vectorized searchsorted
+    (grouping per pk would schedule one tiny group per output face; bucket
+    count scales with the doc count so groups stay bounded at 100 TB).
+    Task-pool sort shuffle throughout — no join-aggregator actors, no
+    driver materialization, and sorts consume the 0-row schema-less blocks
+    that crash Ray's hash-join schema broadcast."""
     from ..dedup import _n_buckets_for
 
     # docs are read_parquet / in-memory sources at every call site, so
-    # count() is a metadata lookup, not an execution
+    # count()/size_bytes() are metadata lookups, not executions
     nb = _n_buckets_for(max(1, ds.count()) * 8)
+    try:
+        doc_bytes = ds.size_bytes() or 0
+    except Exception:
+        doc_bytes = _BCAST_JOIN_LIMIT + 1
+    if doc_bytes <= _BCAST_JOIN_LIMIT:
+        return _finalize_join_broadcast(stitched, ds, grid, utm)
 
     def docs_min(t: pa.Table) -> pa.Table:
-        import json
-
         from ..ids import stable_pk
 
         n = len(t)
         ids = t["doc_id"].to_pylist()
         pks = [stable_pk(did) for did in ids]
         # spans ride as JSON (list<struct> does not survive concat/take
-        # uniformly across block types)
-        spans_json = [
-            json.dumps(
-                [[sp["kind"], sp["text"], sp["media_ref"], sp["offset"]] for sp in doc]
-            )
-            for doc in t["spans"].to_pylist()
-        ]
+        # uniformly across block types); the replaced geometry hex is
+        # blanked before shipping
+        spans_json = [_spans_payload_json(doc) for doc in t["spans"].to_pylist()]
         pks_np = np.asarray(pks, dtype=np.int64)
         return pa.table(
             {
@@ -355,6 +387,87 @@ def _finalize_join(stitched, ds, grid, utm):
         .groupby("bkt")
         .map_groups(attach, batch_format="pyarrow")
     )
+    return joined.map_batches(
+        stages.FinalizeJoined(grid, utm), batch_format="pyarrow"
+    )
+
+
+# process-level cache for broadcast join payloads: worker processes are
+# reused across tasks, so the (sorted keys, payload arrays) build happens
+# once per worker, not once per batch
+_BCAST_CACHE: dict = {}
+
+
+def _finalize_join_broadcast(stitched, ds, grid, utm):
+    """Broadcast-side finalize join: the slim doc payload is materialized
+    to Arrow blocks in the object store by workers (never the driver) and
+    every attach task reads it zero-copy.  The face stream stays put — no
+    union, no sort shuffle, no extra all-to-all."""
+
+    def docs_slim(t: pa.Table) -> pa.Table:
+        from ..ids import stable_pk
+
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "jk": pa.array([stable_pk(d) for d in ids], pa.int64()),
+                "w_doc_id": t["doc_id"].cast(pa.string()).combine_chunks(),
+                "w_spans_json": pa.array(
+                    [_spans_payload_json(doc) for doc in t["spans"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    slim = ds.map_batches(docs_slim, batch_format="pyarrow").materialize()
+    refs = [r for r in slim.to_arrow_refs()]
+    cache_key = tuple(r.hex() for r in refs)
+
+    def attach_bcast(t: pa.Table) -> pa.Table:
+        import ray
+
+        got = _BCAST_CACHE.get(cache_key)
+        if got is None:
+            parts = [p for p in ray.get(list(refs)) if len(p)]
+            if parts:
+                docs = pa.concat_tables(parts)
+                jk = docs["jk"].to_numpy()
+                order = np.argsort(jk, kind="stable")
+                got = (
+                    jk[order],
+                    docs["w_doc_id"].combine_chunks().take(pa.array(order, pa.int64())),
+                    docs["w_spans_json"].combine_chunks().take(pa.array(order, pa.int64())),
+                )
+            else:
+                got = (np.empty(0, np.int64), pa.array([], pa.string()), pa.array([], pa.string()))
+            _BCAST_CACHE.clear()  # at most one payload per worker
+            _BCAST_CACHE[cache_key] = got
+        jk_s, doc_arr, span_arr = got
+        n = len(t)
+        others = [",".join(map(str, o or [])) for o in t["others"].to_pylist()]
+        w = t["winner_pk"].to_numpy()
+        if len(jk_s):
+            pos = np.minimum(np.searchsorted(jk_s, w), len(jk_s) - 1)
+            miss = jk_s[pos] != w
+            idx = pa.array(pos, pa.int64(), mask=miss)
+            w_doc = doc_arr.take(idx)
+            w_span = span_arr.take(idx)
+        else:
+            w_doc = pa.array([None] * n, pa.string())
+            w_span = pa.array([None] * n, pa.string())
+        return pa.table(
+            {
+                "tile": t["tile"].combine_chunks(),
+                "rings": t["rings"].combine_chunks(),
+                "winner_pk": t["winner_pk"].combine_chunks(),
+                "others_s": pa.array(others, pa.string()),
+                "is_valid": t["is_valid"].combine_chunks(),
+                "w_doc_id": w_doc,
+                "w_spans_json": w_span,
+            }
+        )
+
+    joined = stitched.map_batches(attach_bcast, batch_format="pyarrow")
     return joined.map_batches(
         stages.FinalizeJoined(grid, utm), batch_format="pyarrow"
     )
