@@ -183,47 +183,63 @@ def knn_points(points_ds, k: int = 5, radius: float = 0.1,
             }
         )
 
+    _KNN_SCHEMA = pa.schema(
+        [("point_id", pa.int64()), ("neighbor_id", pa.int64()),
+         ("d2_px", pa.int64()), ("dist", pa.float64()),
+         ("rank", pa.int64()), ("complete", pa.bool_())]
+    )
+
     def per_cell(g: pa.Table) -> pa.Table:
         px = g["px"].to_numpy()
         py = g["py"].to_numpy()
         pid = g["point_id"].to_numpy()
         home = g["is_home"].to_numpy(zero_copy_only=False)
         # dedup candidates by point_id (a point may be routed twice via
-        # different overlaps at level boundaries)
-        _, first = np.unique(pid, return_index=True)
-        tx, ty, tpid = px[first], py[first], pid[first]
+        # different overlaps at level boundaries); keep them SORTED by id
+        # so a stable row-wise argsort on d2 breaks ties by ascending
+        # neighbour id — the exact order the SQL oracle pins
+        tpid, first = np.unique(pid, return_index=True)
+        tx, ty = px[first], py[first]
         r2_px = np.int64(r_px) * np.int64(r_px)
-        out = {"point_id": [], "neighbor_id": [], "d2_px": [], "dist": [], "rank": [], "complete": []}
         targets = np.flatnonzero(home)
-        for i in targets:
-            # exact integer squared distance: rank ties resolve identically
-            # in every process AND in the SQL oracle (float sqrt could
-            # collapse distinct d2 into equal doubles)
-            d2 = (tx - px[i]) ** 2 + (ty - py[i]) ** 2
-            self_mask = tpid == pid[i]
-            d2[self_mask] = np.iinfo(np.int64).max
-            order = np.lexsort((tpid, d2))[: k]
-            kth = d2[order[-1]] if len(order) else np.iinfo(np.int64).max
-            complete = bool(kth <= r2_px)
-            for rank, j in enumerate(order):
-                if d2[j] == np.iinfo(np.int64).max:
-                    continue
-                out["point_id"].append(int(pid[i]))
-                out["neighbor_id"].append(int(tpid[j]))
-                out["d2_px"].append(int(d2[j]))
-                out["dist"].append(float(np.sqrt(d2[j])) * grid.precision)
-                out["rank"].append(rank + 1)
-                out["complete"].append(complete)
-        return pa.table(
-            {
-                "point_id": pa.array(out["point_id"], pa.int64()),
-                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-                "d2_px": pa.array(out["d2_px"], pa.int64()),
-                "dist": pa.array(out["dist"], pa.float64()),
-                "rank": pa.array(out["rank"], pa.int64()),
-                "complete": pa.array(out["complete"], pa.bool_()),
-            }
-        )
+        C = len(tpid)
+        if len(targets) == 0 or C == 0:
+            return _KNN_SCHEMA.empty_table()
+        big = np.iinfo(np.int64).max
+        chunks = []
+        # block the (targets x candidates) distance matrix to ~32 MB
+        block = max(1, 4_000_000 // C)
+        for t0 in range(0, len(targets), block):
+            ti = targets[t0 : t0 + block]
+            dx = tx[None, :] - px[ti][:, None]
+            dy = ty[None, :] - py[ti][:, None]
+            d2 = dx * dx + dy * dy  # exact integer squared distances
+            d2[tpid[None, :] == pid[ti][:, None]] = big  # self
+            kk = min(k, C)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            dsel = np.take_along_axis(d2, idx, axis=1)
+            kth = dsel[:, -1]
+            complete = kth <= r2_px  # kth might lie beyond the radius
+            valid = dsel != big
+            rows, cols = np.nonzero(valid)
+            chunks.append(
+                pa.table(
+                    {
+                        "point_id": pa.array(pid[ti][rows], pa.int64()),
+                        "neighbor_id": pa.array(tpid[idx[rows, cols]], pa.int64()),
+                        "d2_px": pa.array(dsel[rows, cols], pa.int64()),
+                        "dist": pa.array(
+                            np.sqrt(dsel[rows, cols].astype(np.float64))
+                            * grid.precision,
+                            pa.float64(),
+                        ),
+                        "rank": pa.array((cols + 1).astype(np.int64), pa.int64()),
+                        "complete": pa.array(complete[rows], pa.bool_()),
+                    },
+                    schema=_KNN_SCHEMA,
+                )
+            )
+        return pa.concat_tables(chunks)
 
     return (
         points_ds.map_batches(route, batch_format="pyarrow")
