@@ -323,6 +323,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_edge_pairs_len": lambda sf: __import__(
             "rogray.rectlayer", fromlist=["rect_edge_pairs_len"]
         ).rect_edge_pairs_len(sf),
+        "rect_rasterize_runs": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_rasterize_runs"]
+        ).rect_rasterize_runs(sf),
+        "rect_zonal_stats": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_zonal_stats"]
+        ).rect_zonal_stats(sf),
     }
 
 
@@ -423,6 +429,15 @@ def oracle_sql() -> dict[str, str]:
         "rect_edge_pairs_len": __import__(
             "rogray.rectlayer", fromlist=["rect_edge_pairs_len_sql"]
         ).rect_edge_pairs_len_sql(),
+        # vector->raster: resolved winner mosaic scanline-rasterized to RLE
+        # runs == gaps-and-islands over the per-cell MIN(k) winner; and
+        # raster->vector zonal stats over the synthetic (7x+13y)%97 field
+        "rect_rasterize_runs": __import__(
+            "rogray.rectlayer", fromlist=["rect_rasterize_runs_sql"]
+        ).rect_rasterize_runs_sql(),
+        "rect_zonal_stats": __import__(
+            "rogray.rectlayer", fromlist=["rect_zonal_stats_sql"]
+        ).rect_zonal_stats_sql(),
         # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap
         # family and other geometry pipelines (DuckDB has no spatial ext
         # here), text_lang_id (heuristic), ann_ivf_topk (k-means training;

@@ -498,3 +498,108 @@ FROM pt JOIN rect
  AND pt.py > rect.y1 AND pt.py < rect.y2
 ORDER BY 1, 2
 """
+
+
+def rect_rasterize_runs(sf_dir: str):
+    """Real resolve pipeline -> vector->raster scanline rasterization.
+
+    The resolved winner mosaic is rasterized to merged RLE pixel runs
+    (winner_id, cy, x0, x1); DuckDB recomputes the identical runs by
+    unit-cell enumeration + gaps-and-islands over the per-cell MIN(k)
+    winner.  An exact match pins the even-odd scanline kernel, the px
+    frame conversion and the island merge against the resolved topology.
+    """
+    from . import raster
+    from .pipelines import resolve
+
+    docs = rect_docs(sf_dir)
+    cfg = rect_cfg()
+    plan = rect_plan(docs, cfg)
+    res = resolve.resolve_overlap_gap(docs, cfg, plan)
+
+    def covered_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["winner_pk"], 0))
+
+    covered = res.map_batches(covered_only, batch_format="pyarrow")
+    runs = raster.rasterize_faces(covered, plan.grid, zone_col="winner_pk")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "winner_id": t["zone"].combine_chunks(),
+                "cy": t["cy"].combine_chunks(),
+                "x0": t["x0"].combine_chunks(),
+                "x1": t["x1"].combine_chunks(),
+            }
+        )
+
+    return runs.map_batches(rename, batch_format="pyarrow")
+
+
+def rect_rasterize_runs_sql() -> str:
+    return f"""
+WITH {_RECT_CTE},
+xs AS (
+    SELECT k, y1, y2, unnest(generate_series(x1, x2 - 1)) AS cx FROM rect
+),
+cells AS (
+    SELECT k, cx, unnest(generate_series(y1, y2 - 1)) AS cy FROM xs
+),
+win AS (
+    SELECT cx, cy, MIN(k) AS winner_id FROM cells GROUP BY 1, 2
+),
+isl AS (
+    SELECT winner_id, cy, cx,
+           cx - ROW_NUMBER() OVER (PARTITION BY winner_id, cy ORDER BY cx) AS grp
+    FROM win
+)
+SELECT winner_id, cy, MIN(cx) AS x0, MAX(cx) + 1 AS x1
+FROM isl GROUP BY winner_id, cy, grp
+ORDER BY 1, 2, 3
+"""
+
+
+def rect_zonal_stats(sf_dir: str):
+    """Raster->vector zonal statistics over the synthetic raster field.
+
+    Each rectangle zone aggregates the deterministic per-pixel value
+    (7x+13y) mod 97 over its own covered cells (overlap allowed — zones
+    are independent); DuckDB recomputes by cell enumeration with the
+    same formula.  Pins the scanline fill + ragged value fold exactly.
+    """
+    from . import raster
+
+    docs = rect_docs(sf_dir)
+    cfg = rect_cfg()
+    plan = rect_plan(docs, cfg)
+    stats = raster.zonal_stats(docs, cfg, plan)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "zone_id": pc.cast(t["zone_id"], pa.int64()),
+                "n_px": t["n_px"].combine_chunks(),
+                "sum_v": t["sum_v"].combine_chunks(),
+                "min_v": t["min_v"].combine_chunks(),
+                "max_v": t["max_v"].combine_chunks(),
+            }
+        )
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def rect_zonal_stats_sql() -> str:
+    return f"""
+WITH {_RECT_CTE},
+xs AS (
+    SELECT k, y1, y2, unnest(generate_series(x1, x2 - 1)) AS cx FROM rect
+),
+cells AS (
+    SELECT k, cx, unnest(generate_series(y1, y2 - 1)) AS cy FROM xs
+)
+SELECT k AS zone_id, COUNT(*)::BIGINT AS n_px,
+       SUM((7 * cx + 13 * cy) % 97)::BIGINT AS sum_v,
+       MIN((7 * cx + 13 * cy) % 97)::BIGINT AS min_v,
+       MAX((7 * cx + 13 * cy) % 97)::BIGINT AS max_v
+FROM cells GROUP BY k ORDER BY k
+"""

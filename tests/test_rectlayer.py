@@ -122,3 +122,71 @@ class TestRectOracles:
         x1, y1, x2, y2 = rectlayer.rect_corners(k.astype(np.int64))
         total = int(((x2 - x1) * (y2 - y1)).sum())
         assert int((got["depth"] * got["area_px2"]).sum()) == total
+
+
+class TestRasterOps:
+    def test_rasterize_runs_oracle(self, ray_session):
+        _assert_exact(
+            rectlayer.rect_rasterize_runs(SF), rectlayer.rect_rasterize_runs_sql()
+        )
+
+    def test_zonal_stats_oracle(self, ray_session):
+        _assert_exact(
+            rectlayer.rect_zonal_stats(SF), rectlayer.rect_zonal_stats_sql()
+        )
+
+
+class TestScanlineKernel:
+    """The rasterizer kernel vs a brute-force even-odd center test."""
+
+    @staticmethod
+    def _brute(rings, w, h):
+        got = set()
+        for cx in range(w):
+            for cyy in range(h):
+                px, py = cx + 0.5, cyy + 0.5
+                c = 0
+                for r in rings:
+                    pts = list(map(tuple, r)) + [tuple(r[0])]
+                    for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
+                        if ay != by and min(ay, by) <= py < max(ay, by):
+                            if px < ax + (py - ay) * (bx - ax) / (by - ay):
+                                c += 1
+                if c % 2 == 1:
+                    got.add((cx, cyy))
+        return got
+
+    def test_matches_brute_force_on_odd_shapes(self):
+        from rogray import raster
+
+        shapes = [
+            [np.array([[0, 0], [10, 0], [0, 10]], float)],          # triangle
+            [np.array([[0, 0], [7, 7], [7, 0], [0, 7]], float)],    # bowtie
+            [np.array([[0, 0], [9, 0], [9, 9], [0, 9]], float),     # with hole
+             np.array([[2, 2], [6, 2], [6, 6], [2, 6]], float)],
+            [np.array([[0.3, 0.2], [8.7, 1.1], [4.4, 9.6]], float)],  # non-integer
+        ]
+        p, cy, x0, x1 = raster.scanline_runs(shapes)
+        for si, rings in enumerate(shapes):
+            got = {
+                (cx, int(cy[i]))
+                for i in np.flatnonzero(p == si)
+                for cx in range(x0[i], x1[i])
+            }
+            assert got == self._brute(rings, 12, 12), f"shape {si}"
+
+    def test_shared_edge_partition(self):
+        """Two faces sharing an edge claim every center exactly once."""
+        from rogray import raster
+
+        left = [np.array([[0, 0], [5, 0], [4, 8], [0, 8]], float)]
+        right = [np.array([[5, 0], [9, 0], [9, 8], [4, 8]], float)]
+        p, cy, x0, x1 = raster.scanline_runs([left, right])
+        seen = {}
+        for i in range(len(p)):
+            for cx in range(x0[i], x1[i]):
+                key = (cx, int(cy[i]))
+                assert key not in seen, f"double-claimed {key}"
+                seen[key] = int(p[i])
+        union = self._brute(left + right, 12, 12)
+        assert set(seen) == union
