@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_zonal_stats": lambda sf: __import__(
             "rogray.rectlayer", fromlist=["rect_zonal_stats"]
         ).rect_zonal_stats(sf),
+        "rect_cross_layer_join": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_cross_layer_join"]
+        ).rect_cross_layer_join(sf),
     }
 
 
@@ -438,6 +441,11 @@ def oracle_sql() -> dict[str, str]:
         "rect_zonal_stats": __import__(
             "rogray.rectlayer", fromlist=["rect_zonal_stats_sql"]
         ).rect_zonal_stats_sql(),
+        # cross-layer spatial join: A x B pairwise intersection areas over
+        # two rectangle layers sharing doc_ids (forces side separation)
+        "rect_cross_layer_join": __import__(
+            "rogray.rectlayer", fromlist=["rect_cross_layer_join_sql"]
+        ).rect_cross_layer_join_sql(),
         # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap
         # family and other geometry pipelines (DuckDB has no spatial ext
         # here), text_lang_id (heuristic), ann_ivf_topk (k-means training;

@@ -603,3 +603,101 @@ SELECT k AS zone_id, COUNT(*)::BIGINT AS n_px,
        MAX((7 * cx + 13 * cy) % 97)::BIGINT AS max_v
 FROM cells GROUP BY k ORDER BY k
 """
+
+
+# Layer-B rectangle formulas (cross-layer join oracle) — derived from the
+# same part keys with different multipliers so the two layers shear
+# against each other; same frame, all edges even and < _SPAN.
+_RECT_B_CTE = """
+rectb AS (
+    SELECT p_partkey AS k,
+           2 * (((p_partkey * 29) % 48) * 24 + (p_partkey * 3) % 13) AS x1,
+           2 * (((p_partkey * 17) % 48) * 24 + (p_partkey * 5) % 11) AS y1,
+           2 * (((p_partkey * 29) % 48) * 24 + (p_partkey * 3) % 13)
+             + 2 * (5 + (p_partkey * 7) % 19) AS x2,
+           2 * (((p_partkey * 17) % 48) * 24 + (p_partkey * 5) % 11)
+             + 2 * (5 + (p_partkey * 11) % 17) AS y2
+    FROM part
+)"""
+
+
+def rect_b_corners(k: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(x1, y1, x2, y2) int64 arrays for layer-B keys (see _RECT_B_CTE)."""
+    k = np.asarray(k, dtype=np.int64)
+    x1 = 2 * (((k * 29) % _GMOD) * _PITCH + (k * 3) % 13)
+    y1 = 2 * (((k * 17) % _GMOD) * _PITCH + (k * 5) % 11)
+    x2 = x1 + 2 * (5 + (k * 7) % 19)
+    y2 = y1 + 2 * (5 + (k * 11) % 17)
+    return x1, y1, x2, y2
+
+
+def _rects_b_to_docs(t: pa.Table) -> pa.Table:
+    k = t["p_partkey"].to_numpy().astype(np.int64)
+    x1, y1, x2, y2 = rect_b_corners(k)
+    doc_ids, span_lists = [], []
+    for i in range(len(k)):
+        ring = np.array(
+            [[x1[i], y1[i]], [x2[i], y1[i]], [x2[i], y2[i]], [x1[i], y2[i]]],
+            dtype=np.float64,
+        )
+        doc_ids.append(str(int(k[i])))
+        span_lists.append(
+            [(spans_mod.GEOMETRY_KIND, wkb.encode_polygon([ring]).hex(), "", 0)]
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "spans": spans_mod.make_spans_column(span_lists),
+        }
+    )
+
+
+def rect_b_docs(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    return ds.map_batches(_rects_b_to_docs, batch_format="pyarrow")
+
+
+def rect_cross_layer_join(sf_dir: str):
+    """Real layer_intersection_join: layer A x layer B pairwise areas.
+
+    Both layers share part keys but different corner formulas (including
+    identical doc_ids across layers — the row-index labeling inside the
+    tile worker must keep them apart); DuckDB recomputes every pair by
+    interval arithmetic.  Exact match pins the two-layer routing, the
+    per-tile arrangement under mixed coverage, and the cross-tile
+    additivity of pair areas.
+    """
+    from . import spatial_query
+
+    a = rect_docs(sf_dir)
+    b = rect_b_docs(sf_dir)
+    cfg = rect_cfg()
+    plan = rect_plan(a.union(b), cfg)
+    res = spatial_query.layer_intersection_join(a, b, cfg, plan)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t["pk_a"].combine_chunks(),
+                "id_b": t["pk_b"].combine_chunks(),
+                "overlap_px2": pc.round(t["sum(area)"]).cast(pa.int64()),
+            }
+        )
+
+    return res.map_batches(finish, batch_format="pyarrow")
+
+
+def rect_cross_layer_join_sql() -> str:
+    return f"""
+WITH {_RECT_CTE},
+{_RECT_B_CTE}
+SELECT a.k AS id_a, b.k AS id_b,
+       (LEAST(a.x2, b.x2) - GREATEST(a.x1, b.x1))
+     * (LEAST(a.y2, b.y2) - GREATEST(a.y1, b.y1)) AS overlap_px2
+FROM rect a JOIN rectb b
+  ON a.x1 < b.x2 AND b.x1 < a.x2
+ AND a.y1 < b.y2 AND b.y1 < a.y2
+ORDER BY 1, 2
+"""

@@ -359,3 +359,106 @@ def smooth_lines(ds, simplify_tolerance: float = 0.0, chaikins_iterations: int =
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class _TileCrossJoin:
+    """groupby(tile).map_groups worker: pairwise A x B intersection areas.
+
+    Same per-tile arrangement as detect.TileDetect, but inputs carry a
+    side tag; every face whose coverage set contains members of BOTH
+    layers contributes its exact area to each (a, b) pair.  Faces split
+    by tile borders sum correctly downstream — no stitch is needed for
+    an additive measure."""
+
+    def __init__(self, grid: GridConfig, utm: bool):
+        self.__name__ = "TileCrossJoin"
+        self.grid = grid
+        self.utm = utm
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from .geom import arrangement
+
+        g = self.grid
+        tile = int(group["tile"][0].as_py())
+        bounds = quadkey.cell_bounds_px(np.uint64(tile), g.span_px)
+        pks = group["pk"].to_numpy()
+        sides = group["side"].to_numpy(zero_copy_only=False)
+        rings_col = group["rings"].to_pylist()
+        # label polygons by ROW INDEX so identical pks across layers can
+        # never merge; map back through (pks, sides) at emit time
+        polys = [
+            (i, stages.unpack_rings(rings_col[i])[0]) for i in range(len(group))
+        ]
+        faces = arrangement.overlay_tile(polys, bounds)
+        pair_area: dict[tuple[int, int], float] = {}
+        for f in faces:
+            if len(f.cov) < 2:
+                continue
+            a_rows = [r for r in f.cov if not sides[r]]
+            b_rows = [r for r in f.cov if sides[r]]
+            if not a_rows or not b_rows:
+                continue
+            if self.utm:
+                area = core.planar_area(f.rings, g.precision)
+            else:
+                area = core.geodesic_area(
+                    f.rings, g.origin_x, g.origin_y, g.precision
+                )
+            for ra in a_rows:
+                for rb in b_rows:
+                    k = (int(pks[ra]), int(pks[rb]))
+                    pair_area[k] = pair_area.get(k, 0.0) + area
+        ka, kb, ar = [], [], []
+        for (a, b), v in sorted(pair_area.items()):
+            ka.append(a)
+            kb.append(b)
+            ar.append(v)
+        return pa.table(
+            {
+                "pk_a": pa.array(ka, pa.int64()),
+                "pk_b": pa.array(kb, pa.int64()),
+                "area": pa.array(ar, pa.float64()),
+            }
+        )
+
+
+def layer_intersection_join(docs_a, docs_b, cfg: ResolveConfig | None = None,
+                            plan: ResolvePlan | None = None):
+    """Two polygon layers -> (pk_a, pk_b, intersection area) pairs.
+
+    The cross-layer spatial join of the reference's deployment context
+    (AR5 land-cover joined against other national layers): both layers
+    unwrap onto the SAME snap grid and content-balanced cut, shuffle once
+    by tile, and each tile computes its arrangement exactly; pair areas
+    are additive across tiles so one groupby-sum finishes the join.
+    When `plan` is omitted it is prepared on the UNION of the layers so
+    the grid extent covers both.
+    """
+    cfg = cfg or ResolveConfig()
+    plan = plan or prepare(docs_a.union(docs_b), cfg)
+    grid, cut = plan.grid, plan.cut
+
+    def tag(side: bool):
+        # prune to the join's working set — spans/bbox never enter the
+        # shuffle
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "tile": t["tile"].combine_chunks(),
+                    "pk": t["pk"].combine_chunks(),
+                    "rings": t["rings"].combine_chunks(),
+                    "side": pa.array(np.full(len(t), side), pa.bool_()),
+                }
+            )
+        return f
+
+    def prep(ds, side: bool):
+        u = ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
+        r = u.map_batches(stages.Route(cut), batch_format="pyarrow")
+        return r.map_batches(tag(side), batch_format="pyarrow")
+
+    both = prep(docs_a, False).union(prep(docs_b, True))
+    pairs = both.groupby("tile").map_groups(
+        _TileCrossJoin(grid, cfg.topology.utm), batch_format="pyarrow"
+    )
+    return pairs.groupby(["pk_a", "pk_b"]).sum("area")

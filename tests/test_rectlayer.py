@@ -190,3 +190,49 @@ class TestScanlineKernel:
                 seen[key] = int(p[i])
         union = self._brute(left + right, 12, 12)
         assert set(seen) == union
+
+
+class TestCrossLayerJoin:
+    def test_oracle(self, ray_session):
+        _assert_exact(
+            rectlayer.rect_cross_layer_join(SF),
+            rectlayer.rect_cross_layer_join_sql(),
+        )
+
+    def test_b_corners_match_sql(self):
+        k = np.arange(1, 3000, dtype=np.int64)
+        x1, y1, x2, y2 = rectlayer.rect_b_corners(k)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW part AS SELECT unnest(range(1, 3000)) AS p_partkey")
+        df = con.execute(
+            f"WITH {rectlayer._RECT_B_CTE} SELECT * FROM rectb ORDER BY k"
+        ).df()
+        assert (df["x1"].to_numpy() == x1).all()
+        assert (df["y1"].to_numpy() == y1).all()
+        assert (df["x2"].to_numpy() == x2).all()
+        assert (df["y2"].to_numpy() == y2).all()
+        for a in (x1, y1, x2, y2):
+            assert (a % 2 == 0).all() and (a >= 0).all()
+        assert int(max(x2.max(), y2.max())) < rectlayer._SPAN
+
+    def test_same_layer_join_matches_overlap_pairs(self, ray_session):
+        """A x A through the cross-layer operator reproduces the
+        find_overlap_gap pair areas (plus the trivial self pairs)."""
+        from rogray import spatial_query
+
+        a = rectlayer.rect_docs(SF)
+        cfg = rectlayer.rect_cfg()
+        plan = rectlayer.rect_plan(a, cfg)
+        res = spatial_query.layer_intersection_join(
+            a, rectlayer.rect_docs(SF), cfg, plan
+        ).to_pandas()
+        res = res[res.pk_a < res.pk_b].rename(columns={"sum(area)": "area"})
+        want = rectlayer.rect_overlap_pairs(SF).to_pandas()
+        got = {
+            (int(r.pk_a), int(r.pk_b)): int(round(r.area))
+            for r in res.itertuples()
+        }
+        exp = {
+            (int(r.id1), int(r.id2)): int(r.overlap_px2) for r in want.itertuples()
+        }
+        assert got == exp
