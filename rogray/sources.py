@@ -112,3 +112,218 @@ def scale_rows(sf_dir: str) -> int:
     except ValueError:
         sf = 0.01
     return max(64, int(600_000 * sf))
+
+
+# ---------------------------------------------------------------------------
+# Interchange readers: newline-delimited GeoJSON (RFC 8142) and WKT-in-CSV.
+#
+# The reference ingests "any PostgreSQL table" (types.sql:2-18); users
+# switching to this engine hold their layers in files.  Both readers are
+# streaming Ray Data pipelines — read_text / read_csv shards the input,
+# a stateless map_batches parses each shard into the span-document schema
+# every pipeline here consumes.  Parsers are from scratch (no GDAL/shapely
+# in this environment, and none needed for these two formats).
+# ---------------------------------------------------------------------------
+
+_WKT_NUM = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+
+
+def _parse_wkt(text: str) -> tuple[int, list[list[np.ndarray]]] | None:
+    """WKT POLYGON / MULTIPOLYGON / LINESTRING -> (wkb geom type, parts).
+
+    parts: list of polygons (each a list of rings) or, for a linestring,
+    a single [ [coords] ].  Returns None for empty/unsupported geometry.
+    """
+    import re
+
+    s = text.strip()
+    up = s.upper()
+
+    def rings_of(block: str) -> list[np.ndarray]:
+        out = []
+        for grp in re.findall(r"\(([^()]+)\)", block):
+            pts = []
+            for pair in grp.split(","):
+                nums = re.findall(_WKT_NUM, pair)
+                if len(nums) < 2:
+                    return []
+                pts.append((float(nums[0]), float(nums[1])))
+            out.append(np.array(pts, dtype=np.float64))
+        return out
+
+    if up.startswith("MULTIPOLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        # split top-level polygon blocks by paren depth
+        polys, depth, start = [], 0, None
+        for i, ch in enumerate(body):
+            if ch == "(":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    polys.append(body[start : i + 1])
+        parts = [rings_of(p) for p in polys]
+        parts = [p for p in parts if p]
+        return (wkb.MULTIPOLYGON, parts) if parts else None
+    if up.startswith("POLYGON"):
+        rr = rings_of(s)
+        return (wkb.POLYGON, [rr]) if rr else None
+    if up.startswith("LINESTRING"):
+        import re as _re
+
+        nums = _re.findall(_WKT_NUM, s)
+        if len(nums) < 4:
+            return None
+        xy = np.array(nums, dtype=np.float64).reshape(-1, 2)
+        return (wkb.LINESTRING, [[xy]])
+    return None
+
+
+def _geom_to_wkb_hex(gtype: int, parts: list[list[np.ndarray]]) -> str:
+    if gtype == wkb.LINESTRING:
+        return wkb.encode_linestring(parts[0][0]).hex()
+    if len(parts) == 1:
+        return wkb.encode_polygon(parts[0]).hex()
+    return wkb.encode_multipolygon(parts).hex()
+
+
+def _doc_rows(ids: list[str], geoms: list[str], attrs: list[list[tuple[str, str]]]) -> pa.Table:
+    span_lists = []
+    for g, at in zip(geoms, attrs):
+        sp = [(spans_mod.GEOMETRY_KIND, g, "", 0)]
+        sp += [(f"attr:{k}", str(v), "", o + 1) for o, (k, v) in enumerate(at)]
+        span_lists.append(sp)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "spans": spans_mod.make_spans_column(span_lists),
+        }
+    )
+
+
+def read_geojsonseq_docs(path: str, id_property: str = "id"):
+    """Newline-delimited GeoJSON Features -> span-document Dataset.
+
+    doc_id comes from the Feature `id` member, else properties[id_property],
+    else the feature's 0-based position within its shard is rejected —
+    ids must be explicit (positional ids are not stable under resharding).
+    All scalar properties become attr: spans.  Unsupported geometry types
+    are skipped (count them via the input/output row delta).
+    """
+    import json
+
+    import ray.data as rd
+
+    def parse(t: pa.Table) -> pa.Table:
+        ids, geoms, attrs = [], [], []
+        for line in t["text"].to_pylist():
+            line = line.strip().lstrip("\x1e")  # RFC 8142 RS prefix
+            if not line:
+                continue
+            feat = json.loads(line)
+            if feat.get("type") != "Feature":
+                continue
+            geom = feat.get("geometry") or {}
+            gt = geom.get("type")
+            if gt == "Polygon":
+                parts = [[np.array(r, dtype=np.float64) for r in geom["coordinates"]]]
+                gtype = wkb.POLYGON
+            elif gt == "MultiPolygon":
+                parts = [
+                    [np.array(r, dtype=np.float64) for r in poly]
+                    for poly in geom["coordinates"]
+                ]
+                gtype = wkb.MULTIPOLYGON
+            elif gt == "LineString":
+                parts = [[np.array(geom["coordinates"], dtype=np.float64)]]
+                gtype = wkb.LINESTRING
+            else:
+                continue
+            props = feat.get("properties") or {}
+            did = feat.get("id", props.get(id_property))
+            if did is None:
+                raise ValueError("GeoJSON feature without id / id property")
+            ids.append(str(did))
+            geoms.append(_geom_to_wkb_hex(gtype, parts))
+            attrs.append(
+                [
+                    (k, v)
+                    for k, v in sorted(props.items())
+                    if k != id_property and not isinstance(v, (dict, list))
+                ]
+            )
+        return _doc_rows(ids, geoms, attrs)
+
+    return rd.read_text(path).map_batches(parse, batch_format="pyarrow")
+
+
+def read_wkt_csv_docs(path: str, id_col: str = "id", wkt_col: str = "wkt"):
+    """CSV with a WKT geometry column -> span-document Dataset.
+
+    Remaining columns become attr: spans.  Rows whose WKT fails to parse
+    are dropped (same skip contract as the GeoJSON reader).
+    """
+    import ray.data as rd
+
+    def parse(t: pa.Table) -> pa.Table:
+        ids, geoms, attrs = [], [], []
+        other_cols = [c for c in t.column_names if c not in (id_col, wkt_col)]
+        id_vals = t[id_col].to_pylist()
+        wkt_vals = t[wkt_col].to_pylist()
+        other = {c: t[c].to_pylist() for c in other_cols}
+        for i, w in enumerate(wkt_vals):
+            parsed = _parse_wkt(w or "")
+            if parsed is None:
+                continue
+            ids.append(str(id_vals[i]))
+            geoms.append(_geom_to_wkb_hex(*parsed))
+            attrs.append([(c, other[c][i]) for c in other_cols])
+        return _doc_rows(ids, geoms, attrs)
+
+    return rd.read_csv(path).map_batches(parse, batch_format="pyarrow")
+
+
+def docs_to_geojsonseq(t: pa.Table) -> pa.Table:
+    """Span documents -> one GeoJSON Feature line per document (the sink
+    converter; pair with write_csv-free text output or any line sink)."""
+    import json
+
+    lines = []
+    for did, doc in zip(t["doc_id"].to_pylist(), t["spans"].to_pylist()):
+        geom_hex = next(
+            (s["text"] for s in doc or [] if s["kind"] == spans_mod.GEOMETRY_KIND), None
+        )
+        if geom_hex is None:
+            continue
+        gtype, parts = wkb.decode(bytes.fromhex(geom_hex))
+
+        def closed(r):
+            # GeoJSON rings are explicitly closed; the engine stores them open
+            pts = r.tolist()
+            if pts and pts[0] != pts[-1]:
+                pts.append(pts[0])
+            return pts
+
+        if gtype == wkb.LINESTRING:
+            gj = {"type": "LineString", "coordinates": parts[0][0].tolist()}
+        elif gtype == wkb.MULTIPOLYGON and len(parts) > 1:
+            gj = {
+                "type": "MultiPolygon",
+                "coordinates": [[closed(r) for r in poly] for poly in parts],
+            }
+        else:
+            gj = {"type": "Polygon", "coordinates": [closed(r) for r in parts[0]]}
+        props = {
+            s["kind"][5:]: s["text"]
+            for s in doc or []
+            if s["kind"].startswith("attr:")
+        }
+        lines.append(
+            json.dumps(
+                {"type": "Feature", "id": did, "geometry": gj, "properties": props},
+                separators=(",", ":"),
+            )
+        )
+    return pa.table({"text": pa.array(lines, pa.string())})
