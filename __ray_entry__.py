@@ -332,6 +332,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_cross_layer_join": lambda sf: __import__(
             "rogray.rectlayer", fromlist=["rect_cross_layer_join"]
         ).rect_cross_layer_join(sf),
+        "rect_cell_cover": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_cell_cover"]
+        ).rect_cell_cover(sf),
     }
 
 
@@ -446,6 +449,11 @@ def oracle_sql() -> dict[str, str]:
         "rect_cross_layer_join": __import__(
             "rogray.rectlayer", fromlist=["rect_cross_layer_join_sql"]
         ).rect_cross_layer_join_sql(),
+        # quadkey polyfill (H3 cell-cover analogue): cell-center
+        # containment vs integer interval arithmetic on the centers
+        "rect_cell_cover": __import__(
+            "rogray.rectlayer", fromlist=["rect_cell_cover_sql"]
+        ).rect_cell_cover_sql(),
         # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap
         # family and other geometry pipelines (DuckDB has no spatial ext
         # here), text_lang_id (heuristic), ann_ivf_topk (k-means training;

@@ -701,3 +701,50 @@ FROM rect a JOIN rectb b
  AND a.y1 < b.y2 AND b.y1 < a.y2
 ORDER BY 1, 2
 """
+
+
+def rect_cell_cover(sf_dir: str, level: int = 9):
+    """Real cell_cover (quadkey polyfill) over the rectangle layer.
+
+    Cell size at level 9 on the 4096-px frame is 8 px, so each rectangle
+    covers a handful of cells per axis; DuckDB recomputes the covering
+    cell ranges with integer interval arithmetic on the cell centers.
+    """
+    from . import spatial_query
+
+    docs = rect_docs(sf_dir)
+    cfg = rect_cfg()
+    plan = rect_plan(docs, cfg)
+    res = spatial_query.cell_cover(docs, level, cfg, plan)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_key": pc.cast(t["doc_id"], pa.int64()),
+                "cx": t["cx"].combine_chunks(),
+                "cy": t["cy"].combine_chunks(),
+            }
+        )
+
+    return res.map_batches(finish, batch_format="pyarrow")
+
+
+def rect_cell_cover_sql(level: int = 9) -> str:
+    s = int(_SPAN) >> level
+    h = s // 2
+    # cell center c = cx*s + h covered iff x1 <= c < x2 (half-open, the
+    # same convention the scanline kernel uses on every axis)
+    return f"""
+WITH {_RECT_CTE},
+xr AS (
+    SELECT k, y1, y2,
+           unnest(generate_series((x1 - {h} + {s} - 1) // {s},
+                                  (x2 - {h} - 1) // {s})) AS cx
+    FROM rect
+)
+SELECT k AS doc_key, cx,
+       unnest(generate_series((y1 - {h} + {s} - 1) // {s},
+                              (y2 - {h} - 1) // {s})) AS cy
+FROM xr
+ORDER BY 1, 2, 3
+"""

@@ -462,3 +462,64 @@ def layer_intersection_join(docs_a, docs_b, cfg: ResolveConfig | None = None,
         _TileCrossJoin(grid, cfg.topology.utm), batch_format="pyarrow"
     )
     return pairs.groupby(["pk_a", "pk_b"]).sum("area")
+
+
+def cell_cover(docs_ds, level: int, cfg: ResolveConfig | None = None,
+               plan: ResolvePlan | None = None):
+    """Polygon documents -> covering quadkey cells at a level (H3 polyfill
+    analogue).
+
+    A cell covers a polygon iff the CELL CENTER lies inside it (the H3
+    polyfill convention), evaluated with the raster kernel's half-open
+    even-odd fill at cell resolution — so adjacent polygons partition the
+    cell set exactly like they partition pixels.  Output one row per
+    (doc, cell): doc_id, cell (opaque quadkey id usable with
+    parent/children/k_ring), cx, cy (the cell address at `level`).
+    Streams: one stateless map_batches, no shuffle.
+    """
+    from . import raster
+
+    cfg = cfg or ResolveConfig()
+    plan = plan or prepare(docs_ds, cfg)
+    grid = plan.grid
+    s = int(grid.span_px) >> level
+    if s <= 0:
+        raise ValueError(f"level {level} finer than the snap grid")
+
+    def cover(t: pa.Table) -> pa.Table:
+        rings_col = t["rings"].to_pylist()
+        polys = []
+        for b in rings_col:
+            rings, _ = stages.unpack_rings(b)
+            polys.append([r.astype(np.float64) / s for r in rings])
+        p, cy, x0, x1 = raster.scanline_runs(polys)
+        n = (x1 - x0).astype(np.int64)
+        total = int(n.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "cell": pa.array([], pa.uint64()),
+                    "cx": pa.array([], pa.int64()),
+                    "cy": pa.array([], pa.int64()),
+                }
+            )
+        offs = np.concatenate([[0], np.cumsum(n)[:-1]])
+        ridx = np.repeat(np.arange(len(n)), n)
+        cx = np.arange(total) - np.repeat(offs, n) + x0[ridx]
+        cyy = cy[ridx]
+        cells = quadkey.encode(level, cx.astype(np.uint64), cyy.astype(np.uint64))
+        doc_ids = t["doc_id"].take(pa.array(p[ridx], pa.int64()))
+        return pa.table(
+            {
+                "doc_id": doc_ids.combine_chunks()
+                if hasattr(doc_ids, "combine_chunks")
+                else doc_ids,
+                "cell": pa.array(cells, pa.uint64()),
+                "cx": pa.array(cx, pa.int64()),
+                "cy": pa.array(cyy, pa.int64()),
+            }
+        )
+
+    unwrapped = docs_ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
+    return unwrapped.map_batches(cover, batch_format="pyarrow")

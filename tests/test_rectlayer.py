@@ -236,3 +236,25 @@ class TestCrossLayerJoin:
             (int(r.id1), int(r.id2)): int(r.overlap_px2) for r in want.itertuples()
         }
         assert got == exp
+
+
+class TestCellCover:
+    def test_oracle(self, ray_session):
+        _assert_exact(
+            rectlayer.rect_cell_cover(SF), rectlayer.rect_cell_cover_sql()
+        )
+
+    def test_cover_cells_roundtrip_quadkey(self, ray_session):
+        """The opaque cell ids decode back to (level, cx, cy)."""
+        from rogray.tiling import quadkey
+
+        docs = rectlayer.rect_docs(SF)
+        cfg = rectlayer.rect_cfg()
+        plan = rectlayer.rect_plan(docs, cfg)
+        from rogray import spatial_query
+
+        df = spatial_query.cell_cover(docs, 9, cfg, plan).to_pandas()
+        lvl, cx, cy = quadkey.decode(df["cell"].to_numpy().astype(np.uint64))
+        assert (lvl == 9).all()
+        assert (cx == df["cx"].to_numpy()).all()
+        assert (cy == df["cy"].to_numpy()).all()
