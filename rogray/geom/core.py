@@ -220,3 +220,133 @@ def ring_is_simple(ring: np.ndarray) -> bool:
         | on_seg(q1x, q1y, q2x, q2y, dqx, dqy, p2x, p2y)
     )
     return not touch.any()
+
+
+def _concat_rings(rings: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(coords concat int64, ring start offsets, ring lengths)."""
+    lens = np.array([len(r) for r in rings], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    coords = (
+        np.concatenate(rings).astype(np.int64)
+        if rings
+        else np.empty((0, 2), np.int64)
+    )
+    return coords, offs, lens
+
+
+def ring_signed_area2_batch(rings: list[np.ndarray]) -> np.ndarray:
+    """Vectorized ring_signed_area2 over many rings at once.
+
+    Same exactness contract: per-ring terms are computed relative to the
+    ring's first vertex; a ring whose |terms| could overflow the int64
+    accumulation bound falls back to the scalar chunked routine (never in
+    practice — it needs ~2^59-scale terms).  One numpy pass otherwise.
+    """
+    if not rings:
+        return np.empty(0, np.int64)
+    coords, offs, lens = _concat_rings(rings)
+    x = coords[:, 0] - np.repeat(coords[offs, 0], lens)
+    y = coords[:, 1] - np.repeat(coords[offs, 1], lens)
+    # open-ring cross terms; the entry at each ring's last position crosses
+    # into the next ring — zero it so reduceat(offs) sums ring-local terms
+    terms = np.zeros(len(x), np.int64)
+    if len(x) > 1:
+        terms[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
+    ends = offs + lens - 1
+    terms[ends] = 0
+    sums = np.add.reduceat(terms, offs)
+    sums[lens < 3] = 0
+    # exactness guard: |prefix sums| <= n * max|term| must stay below 2^62
+    mags = np.maximum.reduceat(np.abs(terms), offs)
+    unsafe = np.flatnonzero(mags * np.maximum(lens, 1) >= (1 << 62))
+    for t in unsafe:
+        sums[t] = ring_signed_area2(rings[t])
+    return sums
+
+
+def rings_are_simple_batch(rings: list[np.ndarray]) -> np.ndarray:
+    """Vectorized ring_is_simple over many rings: ONE pass over the
+    concatenated non-adjacent segment pairs of the whole batch (identical
+    predicate — proper crossing, endpoint touch, collinear overlap)."""
+    n = len(rings)
+    res = np.ones(n, dtype=bool)
+    if n == 0:
+        return res
+    coords, offs, lens = _concat_rings(rings)
+    res[lens < 3] = False
+    ii_parts, jj_parts, rid_parts = [], [], []
+    for t in range(n):
+        k = int(lens[t])
+        if k < 3:
+            continue
+        ii, jj = _nonadjacent_pairs(k)
+        if len(ii):
+            ii_parts.append(ii + offs[t])
+            jj_parts.append(jj + offs[t])
+            rid_parts.append(np.full(len(ii), t, np.int64))
+    if not ii_parts:
+        return res
+    ii = np.concatenate(ii_parts)
+    jj = np.concatenate(jj_parts)
+    rid = np.concatenate(rid_parts)
+    ax, ay = coords[:, 0], coords[:, 1]
+    # next vertex within the ring (cyclic)
+    nxt = np.arange(len(coords), dtype=np.int64) + 1
+    nxt[offs + lens - 1] = offs
+    bx, by = ax[nxt], ay[nxt]
+    p1x, p1y, p2x, p2y = ax[ii], ay[ii], bx[ii], by[ii]
+    q1x, q1y, q2x, q2y = ax[jj], ay[jj], bx[jj], by[jj]
+    cand = (
+        (np.minimum(p1x, p2x) <= np.maximum(q1x, q2x))
+        & (np.minimum(q1x, q2x) <= np.maximum(p1x, p2x))
+        & (np.minimum(p1y, p2y) <= np.maximum(q1y, q2y))
+        & (np.minimum(q1y, q2y) <= np.maximum(p1y, p2y))
+    )
+    if not cand.any():
+        return res
+    rid = rid[cand]
+    p1x, p1y, p2x, p2y = p1x[cand], p1y[cand], p2x[cand], p2y[cand]
+    q1x, q1y, q2x, q2y = q1x[cand], q1y[cand], q2x[cand], q2y[cand]
+    dpx, dpy = p2x - p1x, p2y - p1y
+    dqx, dqy = q2x - q1x, q2y - q1y
+    d1 = dpx * (q1y - p1y) - dpy * (q1x - p1x)
+    d2 = dpx * (q2y - p1y) - dpy * (q2x - p1x)
+    d3 = dqx * (p1y - q1y) - dqy * (p1x - q1x)
+    d4 = dqx * (p2y - q1y) - dqy * (p2x - q1x)
+    proper = (
+        ((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0)
+        & ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0)
+    )
+
+    def on_seg_v(ox, oy, px, py, dx_, dy_, qx, qy):
+        col = dx_ * (qy - oy) - dy_ * (qx - ox) == 0
+        inx = (np.minimum(ox, px) <= qx) & (qx <= np.maximum(ox, px))
+        iny = (np.minimum(oy, py) <= qy) & (qy <= np.maximum(oy, py))
+        return col & inx & iny
+
+    touch = (
+        on_seg_v(p1x, p1y, p2x, p2y, dpx, dpy, q1x, q1y)
+        | on_seg_v(p1x, p1y, p2x, p2y, dpx, dpy, q2x, q2y)
+        | on_seg_v(q1x, q1y, q2x, q2y, dqx, dqy, p1x, p1y)
+        | on_seg_v(q1x, q1y, q2x, q2y, dqx, dqy, p2x, p2y)
+    )
+    bad = rid[proper | touch]
+    if len(bad):
+        res[np.unique(bad)] = False
+    return res
+
+
+def bbox_of_rings_batch(rings: list[np.ndarray]) -> np.ndarray:
+    """(n, 4) int64 [minx, miny, maxx, maxy] per ring in one pass."""
+    if not rings:
+        return np.empty((0, 4), np.int64)
+    coords, offs, _ = _concat_rings(rings)
+    return np.stack(
+        [
+            np.minimum.reduceat(coords[:, 0], offs),
+            np.minimum.reduceat(coords[:, 1], offs),
+            np.maximum.reduceat(coords[:, 0], offs),
+            np.maximum.reduceat(coords[:, 1], offs),
+        ],
+        axis=1,
+    )

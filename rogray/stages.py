@@ -149,6 +149,11 @@ class Unwrap:
             "spans_idx": [],
         }
         keep_rows = []
+        # phase 1 (per-row decode): gather every ring of the batch; all
+        # geometry math below runs ONCE over the concatenated rings
+        row_rings_f: list[list[np.ndarray]] = []
+        row_is_line: list[bool] = []
+        row_src: list[int] = []
         for i, wb in enumerate(wkbs):
             if not wb:
                 continue
@@ -168,17 +173,67 @@ class Unwrap:
                 rings_f = [r for poly in (parts if gtype == wkb.MULTIPOLYGON else [parts[0]]) for r in poly]
             else:
                 continue
-            rings = [core.snap(r, g.origin_x, g.origin_y, g.precision) for r in rings_f]
-            rings = [r for r in rings if len(r) >= (2 if is_line else 3)]
-            if not rings:
+            rings_f = [r for r in rings_f if len(r) >= (2 if is_line else 3)]
+            if not rings_f:
                 continue
-            if is_line:
+            row_rings_f.append(rings_f)
+            row_is_line.append(is_line)
+            row_src.append(i)
+        # phase 2 (batched): one snap over all coordinates, one simplicity
+        # pass, one signed-area pass, one bbox pass (stages verified
+        # term-for-term against the scalar kernels in tests/test_geom_kernel)
+        flat_f = [r for rr in row_rings_f for r in rr]
+        ring_counts = np.array([len(rr) for rr in row_rings_f], dtype=np.int64)
+        if flat_f:
+            lens = np.array([len(r) for r in flat_f], dtype=np.int64)
+            offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+            snapped = core.snap(
+                np.concatenate(flat_f).astype(np.float64),
+                g.origin_x,
+                g.origin_y,
+                g.precision,
+            )
+            rings_all = [
+                snapped[offs[j] : offs[j] + lens[j]] for j in range(len(flat_f))
+            ]
+            first_idx = np.concatenate(
+                [[0], np.cumsum(ring_counts)[:-1]]
+            ).astype(np.int64)
+            shell_mask = np.zeros(len(flat_f), dtype=bool)
+            shell_mask[first_idx] = True
+            line_ring = np.repeat(np.array(row_is_line, dtype=bool), ring_counts)
+            poly_idx = np.flatnonzero(~line_ring)
+            simple = np.ones(len(flat_f), dtype=bool)
+            if len(poly_idx):
+                simple[poly_idx] = core.rings_are_simple_batch(
+                    [rings_all[j] for j in poly_idx]
+                )
+                a2 = core.ring_signed_area2_batch(
+                    [rings_all[j] for j in poly_idx]
+                )
+                want_ccw = shell_mask[poly_idx]
+                flip = ((a2 < 0) & want_ccw) | ((a2 > 0) & ~want_ccw)
+                for j in poly_idx[np.flatnonzero(flip)]:
+                    rings_all[j] = rings_all[j][::-1]
+            bb = core.bbox_of_rings_batch(rings_all)
+        else:
+            rings_all, simple, bb = [], np.empty(0, bool), np.empty((0, 4), np.int64)
+            line_ring = np.empty(0, bool)
+        pos = 0
+        for ri, src in enumerate(row_src):
+            nr = int(ring_counts[ri])
+            rings = rings_all[pos : pos + nr]
+            if row_is_line[ri]:
                 valid = True
             else:
-                valid = all(core.ring_is_simple(r) for r in rings)
-                rings = arrangement.normalize_rings(rings)
-            mnx, mny, mxx, mxy = core.bbox_of_rings(rings)
-            did = doc_ids[i]
+                valid = bool(simple[pos : pos + nr].all())
+            rb = bb[pos : pos + nr]
+            mnx = int(rb[:, 0].min())
+            mny = int(rb[:, 1].min())
+            mxx = int(rb[:, 2].max())
+            mxy = int(rb[:, 3].max())
+            pos += nr
+            did = doc_ids[src]
             pk = stable_pk(did)
             out["doc_id"].append(did)
             out["pk"].append(pk)
@@ -188,8 +243,8 @@ class Unwrap:
             out["maxx"].append(mxx)
             out["maxy"].append(mxy)
             out["valid"].append(valid)
-            out.setdefault("is_line", []).append(is_line)
-            keep_rows.append(i)
+            out.setdefault("is_line", []).append(row_is_line[ri])
+            keep_rows.append(src)
         res = pa.table(
             {
                 "doc_id": pa.array(out["doc_id"], pa.string()),

@@ -264,3 +264,48 @@ class TestLineLayer:
         faces = arrangement.overlay_tile(polys, (0, 0, 100, 100), lines=[(99, line)])
         one_cov = [f for f in faces if f.ledger[0][1] == frozenset([1])]
         assert len(one_cov) == 1  # dangle does not split anything
+
+
+class TestBatchedKernels:
+    """The batched Unwrap kernels must agree term-for-term with the scalar
+    routines on random and adversarial rings."""
+
+    def _rings(self):
+        rng = np.random.default_rng(7)
+        rings = [
+            rng.integers(-1000, 1000, size=(int(rng.integers(3, 14)), 2)).astype(
+                np.int64
+            )
+            for _ in range(800)
+        ]
+        rings += [
+            np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.int64),  # simple
+            np.array([[0, 0], [10, 10], [10, 0], [0, 10]], np.int64),  # bowtie
+            np.array([[0, 0], [5, 0], [10, 0], [10, 10], [0, 10]], np.int64),
+            np.array([[0, 0], [10, 0]], np.int64),  # degenerate
+            np.array([[0, 0], [0, 0], [5, 5]], np.int64),  # repeated vertex
+        ]
+        return rings
+
+    def test_simple_batch_matches_scalar(self):
+        rings = self._rings()
+        want = np.array([core.ring_is_simple(r) for r in rings])
+        got = core.rings_are_simple_batch(rings)
+        assert (want == got).all()
+
+    def test_area_batch_matches_scalar(self):
+        rings = self._rings()
+        want = np.array([core.ring_signed_area2(r) for r in rings])
+        got = core.ring_signed_area2_batch(rings)
+        assert (want == got).all()
+
+    def test_bbox_batch_matches_scalar(self):
+        rings = self._rings()
+        got = core.bbox_of_rings_batch(rings)
+        for i, r in enumerate(rings):
+            assert tuple(got[i]) == core.bbox_of_rings([r])
+
+    def test_empty(self):
+        assert len(core.rings_are_simple_batch([])) == 0
+        assert len(core.ring_signed_area2_batch([])) == 0
+        assert core.bbox_of_rings_batch([]).shape == (0, 4)
