@@ -105,19 +105,12 @@ def _stitch_levels(faces, mid_level):
     border = faces.map_batches(
         lambda tb: tb.filter(pc.not_equal(tb["kind"], 0)), batch_format="pyarrow"
     )
+    st = border.groupby("stitch_key").map_groups(
+        stages.StitchLocal(mid_level), batch_format="pyarrow"
+    )
     if mid_level is not None:
-        # fused local+mid stitch: one shuffle keyed by the coarse cell's
-        # mid ancestor replaces two barriers (see stages.FusedLocalMid)
-        keyed = border.map_batches(
-            lambda tb: stages.add_mid_fuse_key(tb, mid_level),
-            batch_format="pyarrow",
-        )
-        st = keyed.groupby("fuse_key").map_groups(
-            stages.FusedLocalMid(mid_level), batch_format="pyarrow"
-        )
-    else:
-        st = border.groupby("stitch_key").map_groups(
-            stages.StitchLocal(mid_level), batch_format="pyarrow"
+        st = st.groupby("stitch_key").map_groups(
+            stages.stitch_mid, batch_format="pyarrow"
         )
     st = st.groupby("stitch_key").map_groups(
         stages.stitch_global, batch_format="pyarrow"

@@ -1294,64 +1294,3 @@ class FinalizeJoined:
                 "spans": pa.array(out_spans, spans_mod.SPANS_TYPE),
             }
         )
-
-
-class FusedLocalMid:
-    """Fused level-1 + mid stitch: ONE shuffle keyed by the coarse cell's
-    mid-level ancestor replaces the groupby(b:coarse) -> groupby(m:...)
-    pair.  Correct because every escalation key StitchLocal emits from a
-    coarse bucket carries parent(min_tile, mid) — the same mid cell the
-    bucket's rows were shuffled by (the signature hash only sub-buckets
-    within it), so all mid-level work for the cell is local to the group.
-    Saves one all-to-all barrier per resolve — the stitch overhead is
-    fixed cost that does NOT shrink with more nodes, so this is what the
-    N->4N scaling efficiency actually buys back."""
-
-    def __init__(self, mid_level: int):
-        self.__name__ = "FusedLocalMid"
-        self.mid_level = mid_level
-
-    @staticmethod
-    def _split(group: pa.Table, keys: np.ndarray):
-        order = np.argsort(keys, kind="stable")
-        g2 = group.take(pa.array(order, pa.int64()))
-        ks = keys[order]
-        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-        ends = np.r_[bounds[1:], len(ks)]
-        for s, e in zip(bounds, ends):
-            yield g2.slice(int(s), int(e - s))
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        if "fuse_key" in group.column_names:
-            group = group.drop_columns(["fuse_key"])
-        sl = StitchLocal(self.mid_level)
-        keys = np.asarray(group["stitch_key"].to_pylist(), dtype=object)
-        l1_out = [sl(sub) for sub in self._split(group, keys)]
-        combined = pa.concat_tables(l1_out)
-        k2 = np.asarray(combined["stitch_key"].to_pylist(), dtype=object)
-        is_mid = np.array([k.startswith("m:") for k in k2], dtype=bool)
-        outs = [combined.filter(pa.array(~is_mid))]
-        mid_tbl = combined.filter(pa.array(is_mid))
-        if len(mid_tbl):
-            mk = np.asarray(mid_tbl["stitch_key"].to_pylist(), dtype=object)
-            outs.extend(stitch_mid(sub) for sub in self._split(mid_tbl, mk))
-        outs = [o for o in outs if len(o)]
-        if not outs:
-            return _face_table({k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")})
-        return pa.concat_tables(outs)
-
-
-def add_mid_fuse_key(tb: pa.Table, mid_level: int) -> pa.Table:
-    """Border rows ("b:{coarse}") -> + fuse_key = the coarse cell's
-    ancestor at min(mid_level, cell level), the shuffle key for the fused
-    local+mid stitch."""
-    keys = tb["stitch_key"].to_pylist()
-    cells = np.array([int(k[2:]) for k in keys], dtype=np.uint64)
-    fk = np.empty(len(cells), dtype=np.int64)
-    lv = (cells >> np.uint64(quadkey.LEVEL_SHIFT)).astype(np.int64)
-    for level in np.unique(lv):
-        m = lv == level
-        fk[m] = quadkey.parent(
-            cells[m], int(min(mid_level, int(level)))
-        ).astype(np.int64)
-    return tb.append_column("fuse_key", pa.array(fk, pa.int64()))
