@@ -115,6 +115,98 @@ def geodesic_area(rings_px: list[np.ndarray], origin_x: float, origin_y: float, 
     return abs(a)
 
 
+def _spherical_area_terms(
+    F: np.ndarray, offs: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Per-vertex spherical-excess terms for many lon/lat rings laid out in
+    one (N,2) float array.  terms[offs[i]:offs[i]+lens[i]] holds EXACTLY the
+    element values spherical_ring_area_m2 builds for ring i (wraparound term
+    in the last slot), so a per-ring np.sum is bit-identical to the scalar
+    kernel (same values, same pairwise summation)."""
+    ll = np.radians(F)
+    lon = np.ascontiguousarray(ll[:, 0])
+    sinlat = np.sin(ll[:, 1])
+    nxt_lon = np.empty_like(lon)
+    nxt_sin = np.empty_like(sinlat)
+    if len(lon):
+        nxt_lon[:-1] = lon[1:]
+        nxt_sin[:-1] = sinlat[1:]
+        nz = lens > 0
+        ends_nz = (offs + lens)[nz] - 1
+        nxt_lon[ends_nz] = lon[offs[nz]]
+        nxt_sin[ends_nz] = sinlat[offs[nz]]
+    return (nxt_lon - lon) * (2.0 + sinlat + nxt_sin)
+
+
+def geodesic_area_packed(
+    F: np.ndarray, offs: np.ndarray, lens: np.ndarray, face_nr: np.ndarray
+) -> np.ndarray:
+    """geodesic_area for many faces over one concatenated unsnapped float
+    array — bit-identical to calling the scalar path per face (trig and
+    term construction batched; the per-ring pairwise np.sum and the
+    s*R*R/2 accumulation order are preserved exactly)."""
+    terms = _spherical_area_terms(F, offs, lens)
+    out = np.empty(len(face_nr), np.float64)
+    ri = 0
+    for f in range(len(face_nr)):
+        a = 0.0
+        for _ in range(int(face_nr[f])):
+            n = int(lens[ri])
+            if n >= 3:
+                s = terms[offs[ri] : offs[ri] + n].sum()
+                a += s * _EARTH_R * _EARTH_R / 2.0
+            ri += 1
+        out[f] = abs(a)
+    return out
+
+
+def _signed_area2_from_concat(
+    coords: np.ndarray, offs: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """ring_signed_area2_batch over an already-concatenated layout.
+    Robust to zero-length rings anywhere in the batch (their offset can
+    equal len(coords); they sum to 0 via the lens<3 mask)."""
+    if not len(lens):
+        return np.empty(0, np.int64)
+    if not len(coords):
+        return np.zeros(len(lens), np.int64)
+    o = np.minimum(offs, len(coords) - 1)  # safe index for empty rings
+    x = coords[:, 0] - np.repeat(coords[o, 0], lens)
+    y = coords[:, 1] - np.repeat(coords[o, 1], lens)
+    terms = np.zeros(len(x), np.int64)
+    if len(x) > 1:
+        terms[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
+    nz = lens > 0
+    terms[(offs + lens)[nz] - 1] = 0
+    sums = np.add.reduceat(terms, o)
+    sums[lens < 3] = 0
+    mags = np.maximum.reduceat(np.abs(terms), o)
+    for t in np.flatnonzero(mags * np.maximum(lens, 1) >= (1 << 62)):
+        sums[t] = ring_signed_area2(coords[offs[t] : offs[t] + lens[t]])
+    return sums
+
+
+def planar_area_packed(
+    coords: np.ndarray,
+    offs: np.ndarray,
+    lens: np.ndarray,
+    face_nr: np.ndarray,
+    precision: float,
+) -> np.ndarray:
+    """planar_area for many faces over one concatenated int coord array.
+    Per-ring signed areas are exact integers, so only the final float
+    conversion order matters — kept as abs(a2)/2.0*p*p like the scalar."""
+    a2 = _signed_area2_from_concat(coords, offs, lens)
+    out = np.empty(len(face_nr), np.float64)
+    ri = 0
+    for f in range(len(face_nr)):
+        nr = int(face_nr[f])
+        tot = sum(int(v) for v in a2[ri : ri + nr])
+        ri += nr
+        out[f] = abs(tot) / 2.0 * precision * precision
+    return out
+
+
 def bbox_of_rings(rings: list[np.ndarray]) -> tuple[int, int, int, int]:
     mnx = min(int(r[:, 0].min()) for r in rings)
     mny = min(int(r[:, 1].min()) for r in rings)

@@ -115,6 +115,39 @@ def encode_polygon(rings: list[np.ndarray]) -> bytes:
     return struct.pack("<BII", 1, POLYGON, len(rings)) + body
 
 
+def encode_polygons_packed(
+    F: np.ndarray, offs: np.ndarray, lens: np.ndarray, face_nr: np.ndarray
+) -> list[bytes]:
+    """encode_polygon for many faces over one concatenated C-contiguous
+    float64 (N,2) array — byte-identical to the per-face path.  The
+    open-ring closure decision uses the same float comparison _ring_bytes
+    makes; the coordinate payload is one memcpy per ring."""
+    n_rings = len(lens)
+    need = np.zeros(n_rings, dtype=bool)
+    if n_rings:
+        nz = lens > 0
+        first = F[offs[nz]]
+        last = F[(offs + lens)[nz] - 1]
+        need[nz] = (first != last).any(axis=1)
+    out_lens = lens + need
+    res: list[bytes] = []
+    ri = 0
+    pack_hdr = struct.pack
+    for f in range(len(face_nr)):
+        nr = int(face_nr[f])
+        parts = [pack_hdr("<BII", 1, POLYGON, nr)]
+        for _ in range(nr):
+            s = int(offs[ri])
+            n = int(lens[ri])
+            parts.append(pack_hdr("<I", int(out_lens[ri]) if n else 0))
+            parts.append(F[s : s + n].tobytes())
+            if n and need[ri]:
+                parts.append(F[s : s + 1].tobytes())
+            ri += 1
+        res.append(b"".join(parts))
+    return res
+
+
 def encode_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
     body = b"".join(encode_polygon(rings) for rings in polys)
     return struct.pack("<BII", 1, MULTIPOLYGON, len(polys)) + body

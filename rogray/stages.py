@@ -85,6 +85,37 @@ def unpack_rings(buf: bytes) -> tuple[list[np.ndarray], list[np.ndarray]]:
     return rings, masks
 
 
+def parse_packed_batch(
+    bufs: list[bytes],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Parse MANY pack_rings buffers into one concatenated int64 (N,2)
+    coordinate array + per-ring (offset, length) + per-face ring count —
+    the layout the batched area/WKB kernels consume.  Masks are skipped.
+    One frombuffer for the whole batch instead of two numpy allocations
+    per ring."""
+    ring_lens: list[int] = []
+    face_nr = np.empty(len(bufs), np.int64)
+    chunks: list[bytes] = []
+    for f, buf in enumerate(bufs):
+        (nr,) = struct.unpack_from("<i", buf, 0)
+        face_nr[f] = nr
+        off = 4
+        for _ in range(nr):
+            (n,) = struct.unpack_from("<i", buf, off)
+            off += 4
+            chunks.append(buf[off : off + 16 * n])
+            off += 17 * n  # coords (16n) + tile-border mask (n)
+            ring_lens.append(n)
+    lens = np.asarray(ring_lens, dtype=np.int64)
+    coords = np.frombuffer(b"".join(chunks), dtype="<i8").reshape(-1, 2)
+    offs = (
+        np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        if len(lens)
+        else np.empty(0, np.int64)
+    )
+    return coords, offs, lens, face_nr
+
+
 def _stage_log(stage: str, key, n_in: int, n_out: int, sec: float) -> None:
     """Optional per-group diagnostics (IO3 analogue of the reference's
     `<prefix>_long_time_log2` slow-job table, cell.sql:925-927): set
@@ -1252,16 +1283,20 @@ class FinalizeJoined:
             ]
             for j in w_json
         ]
-        out_wkb, out_area, out_docid, out_spans = [], [], [], []
+        # batched geometry kernels: ONE parse of all packed ring buffers,
+        # one unsnap/trig pass, one memcpy per ring for the WKB payload —
+        # bit- and byte-identical to the per-face path (differential test
+        # in tests/test_geom_kernel.py pins this)
+        coords, offs, lens, face_nr = parse_packed_batch(rings_col)
+        F = core.unsnap(coords, g.origin_x, g.origin_y, g.precision)
+        out_wkb = wkb.encode_polygons_packed(F, offs, lens, face_nr)
+        if self.utm:
+            out_area = core.planar_area_packed(coords, offs, lens, face_nr, g.precision)
+        else:
+            out_area = core.geodesic_area_packed(F, offs, lens, face_nr)
+        out_docid, out_spans = [], []
         for i in range(n):
-            rings, _ = unpack_rings(rings_col[i])
-            rings_f = [core.unsnap(r, g.origin_x, g.origin_y, g.precision) for r in rings]
-            b = wkb.encode_polygon(rings_f)
-            out_wkb.append(b)
-            if self.utm:
-                out_area.append(core.planar_area(rings, g.precision))
-            else:
-                out_area.append(core.geodesic_area(rings, g.origin_x, g.origin_y, g.precision))
+            b = out_wkb[i]
             if winner[i] is None or int(winner[i]) < 0 or w_doc[i] is None:
                 out_docid.append(None)
                 out_spans.append(

@@ -309,3 +309,71 @@ class TestBatchedKernels:
         assert len(core.rings_are_simple_batch([])) == 0
         assert len(core.ring_signed_area2_batch([])) == 0
         assert core.bbox_of_rings_batch([]).shape == (0, 4)
+
+
+class TestFinalizeBatchedKernels:
+    """The batched finalize kernels (one parse + one trig pass + one memcpy
+    per ring) must be BIT- and BYTE-identical to the scalar per-face path:
+    the output `area` column feeds value-hash pins that round to 9 decimals
+    on ~1e8-scale values, so even ulp drift is visible."""
+
+    def _faces(self):
+        rng = np.random.default_rng(11)
+        faces = []
+        for _ in range(300):
+            nr = int(rng.integers(1, 4))
+            rings = [
+                rng.integers(0, 1 << 20, size=(int(rng.integers(2, 30)), 2)).astype(
+                    np.int64
+                )
+                for _ in range(nr)
+            ]
+            # close about half the rings explicitly (exercises both closure
+            # branches of _ring_bytes)
+            rings = [
+                np.vstack([r, r[:1]]) if rng.random() < 0.5 else r for r in rings
+            ]
+            faces.append(rings)
+        faces.append([])  # ring-less face
+        faces.append([np.empty((0, 2), np.int64)])  # empty ring
+        return faces
+
+    def _packed(self, faces):
+        from rogray import stages
+
+        return [stages.pack_rings(rings) for rings in faces]
+
+    def test_wkb_and_areas_bit_identical(self):
+        from rogray import stages
+        from rogray.geom import wkb as wkb_mod
+
+        ox, oy, prec = 4.05, 57.7, 1e-7
+        faces = self._faces()
+        bufs = self._packed(faces)
+        coords, offs, lens, face_nr = stages.parse_packed_batch(bufs)
+        F = core.unsnap(coords, ox, oy, prec)
+        got_wkb = wkb_mod.encode_polygons_packed(F, offs, lens, face_nr)
+        got_geo = core.geodesic_area_packed(F, offs, lens, face_nr)
+        got_pla = core.planar_area_packed(coords, offs, lens, face_nr, prec)
+        for i, rings in enumerate(faces):
+            rings_f = [core.unsnap(r, ox, oy, prec) for r in rings]
+            assert got_wkb[i] == wkb_mod.encode_polygon(rings_f), i
+            want_geo = core.geodesic_area(rings, ox, oy, prec)
+            assert got_geo[i] == want_geo, i  # bitwise, not approx
+            assert got_pla[i] == core.planar_area(rings, prec), i
+
+    def test_parse_matches_unpack(self):
+        from rogray import stages
+
+        faces = self._faces()
+        bufs = self._packed(faces)
+        coords, offs, lens, face_nr = stages.parse_packed_batch(bufs)
+        ri = 0
+        for f, buf in enumerate(bufs):
+            rings, _ = stages.unpack_rings(buf)
+            assert int(face_nr[f]) == len(rings)
+            for r in rings:
+                s, n = int(offs[ri]), int(lens[ri])
+                assert n == len(r)
+                assert (coords[s : s + n] == r).all()
+                ri += 1
