@@ -94,6 +94,81 @@ def decode_polygon_rings(wkb: bytes) -> list[np.ndarray]:
     raise WkbError(f"expected polygonal geometry, got type {gtype}")
 
 
+def scan_coord_bboxes(
+    wkbs: list,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Bbox-only WKB scan: (row_idx, minx, miny, maxx, maxy) for every
+    decodable polygonal/linestring geometry, without building per-ring
+    arrays — the content-balance histogram needs only bbox centres, and the
+    per-ring numpy allocations of a full decode dominated that pass.  One
+    frombuffer over the concatenated coordinate payloads, one reduceat per
+    bound.  Undecodable / truncated / empty rows are skipped exactly like
+    the per-row decode path."""
+    chunks: list[bytes] = []
+    gid_lens: list[int] = []
+    rows: list[int] = []
+    for i, wb in enumerate(wkbs):
+        if not wb or len(wb) < 9 or wb[0] != 1:
+            continue
+        gtype = int.from_bytes(wb[1:5], "little")
+        total = 0
+        parts: list[bytes] = []
+        off = 9
+        if gtype == LINESTRING:
+            n = int.from_bytes(wb[5:9], "little")
+            parts.append(wb[9 : 9 + 16 * n])
+            off = 9 + 16 * n
+            total = n
+        elif gtype == POLYGON:
+            nr = int.from_bytes(wb[5:9], "little")
+            for _ in range(nr):
+                if off + 4 > len(wb):
+                    off = len(wb) + 1
+                    break
+                n = int.from_bytes(wb[off : off + 4], "little")
+                off += 4
+                parts.append(wb[off : off + 16 * n])
+                off += 16 * n
+                total += n
+        elif gtype == MULTIPOLYGON:
+            npolys = int.from_bytes(wb[5:9], "little")
+            for _ in range(npolys):
+                if off + 9 > len(wb):
+                    off = len(wb) + 1
+                    break
+                nr = int.from_bytes(wb[off + 5 : off + 9], "little")
+                off += 9
+                for _ in range(nr):
+                    if off + 4 > len(wb):
+                        off = len(wb) + 1
+                        break
+                    n = int.from_bytes(wb[off : off + 4], "little")
+                    off += 4
+                    parts.append(wb[off : off + 16 * n])
+                    off += 16 * n
+                    total += n
+        else:
+            continue
+        if total == 0 or off > len(wb):  # empty or truncated: skip the row
+            continue
+        chunks.extend(parts)
+        gid_lens.append(total)
+        rows.append(i)
+    if not rows:
+        z = np.empty(0, np.float64)
+        return np.empty(0, np.int64), z, z, z, z
+    coords = np.frombuffer(b"".join(chunks), dtype="<f8").reshape(-1, 2)
+    lens = np.asarray(gid_lens, np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    return (
+        np.asarray(rows, np.int64),
+        np.minimum.reduceat(coords[:, 0], offs),
+        np.minimum.reduceat(coords[:, 1], offs),
+        np.maximum.reduceat(coords[:, 0], offs),
+        np.maximum.reduceat(coords[:, 1], offs),
+    )
+
+
 def encode_point(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, POINT, x, y)
 

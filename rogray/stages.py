@@ -351,29 +351,12 @@ def histogram_cells(ds, grid: GridConfig, fine_level: int,
 
     def partial(t: pa.Table) -> pa.Table:
         wkbs = spans_mod.extract_geometry_wkb(t["spans"])
-        cx_list, cy_list = [], []
-        for wb in wkbs:
-            if not wb:
-                continue
-            try:
-                rings = wkb.decode_polygon_rings(wb)
-            except wkb.WkbError:
-                try:
-                    gtype, parts = wkb.decode(wb)
-                except wkb.WkbError:
-                    continue
-                if gtype != wkb.LINESTRING:
-                    continue
-                rings = [parts[0][0]]
-            mnx = min(float(r[:, 0].min()) for r in rings)
-            mny = min(float(r[:, 1].min()) for r in rings)
-            mxx = max(float(r[:, 0].max()) for r in rings)
-            mxy = max(float(r[:, 1].max()) for r in rings)
-            cx_list.append((mnx + mxx) / 2)
-            cy_list.append((mny + mxy) / 2)
-        if not cx_list:
+        # bbox-only scan: no per-ring arrays, one reduceat per bound (same
+        # float values as the per-row min-of-ring-mins path)
+        _, mnx, mny, mxx, mxy = wkb.scan_coord_bboxes(wkbs)
+        if not len(mnx):
             return pa.table({"cell": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
-        g = core.snap(np.stack([cx_list, cy_list], axis=1), grid.origin_x, grid.origin_y, grid.precision)
+        g = core.snap(np.stack([(mnx + mxx) / 2, (mny + mxy) / 2], axis=1), grid.origin_x, grid.origin_y, grid.precision)
         cells = quadkey.cell_of_point_px(g[:, 0], g[:, 1], fine_level, grid.span_px)
         if only_under is not None:
             import ray as _ray
