@@ -547,7 +547,7 @@ class Route:
                     tile_list.append(int(tile))
                 continue
             for tile in tiles:
-                x0, y0, x1, y1 = qk.cell_bounds_px(int(tile), self.cut.span_px)
+                x0, y0, x1, y1 = qk.cell_bounds_px_int(int(tile), self.cut.span_px)
                 frag = clip_mod.clip_rings_to_rect(rings, x0, y0, x1, y1)
                 if not frag:
                     continue  # bbox overlapped but the polygon does not

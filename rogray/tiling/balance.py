@@ -61,7 +61,7 @@ def build_cut(
             cut[int(cell)] = int(cnt)
             continue
         child_counts = per_level[lvl + 1]
-        for ch in quadkey.children(int(cell)).tolist():
+        for ch in quadkey.children_int(int(cell)):
             c = child_counts.get(int(ch), 0)
             if c > 0:
                 stack.append((int(ch), c))
@@ -146,8 +146,8 @@ class CutIndex:
         if cell not in self._interior:
             out.append(cell)  # no leaves below: the cell itself is the tile
             return
-        for ch in quadkey.children(cell).tolist():
-            x0, y0, x1, y1 = quadkey.cell_bounds_px(ch, self.span_px)
+        for ch in quadkey.children_int(cell):
+            x0, y0, x1, y1 = quadkey.cell_bounds_px_int(ch, self.span_px)
             if x1 < minx or x0 > maxx or y1 < miny or y0 > maxy:
                 continue
             self._descend(ch, minx, miny, maxx, maxy, out)
@@ -163,7 +163,7 @@ class CutIndex:
             if cell in self.leaves:
                 out.append(cell)
             elif lvl < self.base_level or cell in self._interior:
-                stack.extend(int(c) for c in quadkey.children(cell))
+                stack.extend(quadkey.children_int(int(cell)))
             else:
                 out.append(cell)
         return sorted(out)

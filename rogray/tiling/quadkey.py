@@ -62,6 +62,59 @@ def encode(level: int, ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
     return (np.uint64(level) << np.uint64(LEVEL_SHIFT)) | m
 
 
+# -- scalar twins: numpy on 1-element arrays costs ~25us per Morton op, a
+# -- Python-int bit mix costs ~1us; the per-cell tree walks (Route descend,
+# -- kNN ring expansion) live on these ---------------------------------------
+
+
+def _part1by1_int(x: int) -> int:
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFF
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0F
+    x = (x | (x << 2)) & 0x3333333333333333
+    x = (x | (x << 1)) & 0x5555555555555555
+    return x
+
+
+def _compact1by1_int(x: int) -> int:
+    x &= 0x5555555555555555
+    x = (x | (x >> 1)) & 0x3333333333333333
+    x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0F
+    x = (x | (x >> 4)) & 0x00FF00FF00FF00FF
+    x = (x | (x >> 8)) & 0x0000FFFF0000FFFF
+    x = (x | (x >> 16)) & 0x00000000FFFFFFFF
+    return x
+
+
+def encode_int(level: int, ix: int, iy: int) -> int:
+    return (level << LEVEL_SHIFT) | _part1by1_int(ix) | (_part1by1_int(iy) << 1)
+
+
+def decode_int(cell: int) -> tuple[int, int, int]:
+    level = cell >> LEVEL_SHIFT
+    m = cell & MORTON_MASK
+    return level, _compact1by1_int(m), _compact1by1_int(m >> 1)
+
+
+def children_int(cell: int) -> tuple[int, int, int, int]:
+    """The 4 direct children of one cell (scalar fast path)."""
+    level, ix, iy = decode_int(cell)
+    lv, x, y = level + 1, ix * 2, iy * 2
+    return (
+        encode_int(lv, x, y),
+        encode_int(lv, x + 1, y),
+        encode_int(lv, x, y + 1),
+        encode_int(lv, x + 1, y + 1),
+    )
+
+
+def cell_bounds_px_int(cell: int, span_px: int) -> tuple[int, int, int, int]:
+    level, ix, iy = decode_int(cell)
+    w = span_px >> level
+    x0, y0 = ix * w, iy * w
+    return x0, y0, x0 + w, y0 + w
+
+
 def decode(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """cell ids -> (level, ix, iy)."""
     cell = np.asarray(cell, dtype=np.uint64)
@@ -97,8 +150,7 @@ def k_ring(cell: int, k: int = 1) -> np.ndarray:
 
     H3 grid_disk analogue, used for kNN candidate expansion.
     """
-    level, ix, iy = decode(np.asarray([cell], dtype=np.uint64))
-    lv, x, y = int(level[0]), int(ix[0]), int(iy[0])
+    lv, x, y = decode_int(int(cell))
     n = 1 << lv
     xs, ys = np.meshgrid(np.arange(x - k, x + k + 1), np.arange(y - k, y + k + 1))
     xs, ys = xs.ravel(), ys.ravel()
