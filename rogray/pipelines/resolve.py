@@ -649,36 +649,42 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
         """One row per boundary segment of a face: (bucket, packed seg key,
         uid, small, len) — keys are two packed int64s (coords < 2^28 so
         x<<31|y is collision-free) and HASH-BUCKETED so each Ray group
-        handles thousands of segment keys vectorized."""
-        uids_l, small_l, k1_l, k2_l, ln_l = [], [], [], [], []
+        handles thousands of segment keys vectorized.  Whole-block
+        vectorized: one parse of all packed buffers, one cyclic-next pass
+        over the concatenated rings."""
         rings_col = t["rings"].to_pylist()
-        uid_col = t["uid"].to_pylist()
-        small_col = t["small"].to_pylist()
-        for i in range(len(t)):
-            rings, _ = st_mod.unpack_rings(rings_col[i])
-            for r in rings:
-                nxt = np.roll(r, -1, axis=0)
-                fl = (r[:, 0] > nxt[:, 0]) | ((r[:, 0] == nxt[:, 0]) & (r[:, 1] > nxt[:, 1]))
-                a_ = np.where(fl[:, None], nxt, r)
-                b_ = np.where(fl[:, None], r, nxt)
-                ln = np.hypot((b_[:, 0] - a_[:, 0]).astype(float), (b_[:, 1] - a_[:, 1]).astype(float))
-                keep = ln > 0
-                k1 = (a_[keep, 0] << np.int64(31)) | a_[keep, 1]
-                k2 = (b_[keep, 0] << np.int64(31)) | b_[keep, 1]
-                n_ = int(keep.sum())
-                uids_l.append(np.full(n_, uid_col[i], dtype=object))
-                small_l.append(np.full(n_, small_col[i], dtype=bool))
-                k1_l.append(k1)
-                k2_l.append(k2)
-                ln_l.append(ln[keep])
-        if not k1_l:
+        coords, offs, lens, face_nr = st_mod.parse_packed_batch(rings_col)
+        if not len(coords):
             return pa.table({
                 "sb": pa.array([], pa.int32()), "k1": pa.array([], pa.int64()),
                 "k2": pa.array([], pa.int64()), "uid": pa.array([], pa.string()),
                 "small": pa.array([], pa.bool_()), "seg_len": pa.array([], pa.float64()),
             })
-        k1 = np.concatenate(k1_l)
-        k2 = np.concatenate(k2_l)
+        # cyclic next vertex within each ring
+        nxt_idx = np.arange(1, len(coords) + 1, dtype=np.int64)
+        nz = lens > 0
+        nxt_idx[(offs + lens)[nz] - 1] = offs[nz]
+        a0 = coords
+        b0 = coords[nxt_idx]
+        fl = (a0[:, 0] > b0[:, 0]) | ((a0[:, 0] == b0[:, 0]) & (a0[:, 1] > b0[:, 1]))
+        a_ = np.where(fl[:, None], b0, a0)
+        b_ = np.where(fl[:, None], a0, b0)
+        ln = np.hypot((b_[:, 0] - a_[:, 0]).astype(float), (b_[:, 1] - a_[:, 1]).astype(float))
+        # per-segment face index: rings -> faces via repeat of ring lens
+        pts_per_face = np.zeros(len(face_nr), np.int64)
+        ri = 0
+        for f in range(len(face_nr)):
+            nr = int(face_nr[f])
+            pts_per_face[f] = int(lens[ri : ri + nr].sum())
+            ri += nr
+        uid_col = np.repeat(np.asarray(t["uid"].to_pylist(), dtype=object), pts_per_face)
+        small_col = np.repeat(t["small"].to_numpy(zero_copy_only=False), pts_per_face)
+        keep = ln > 0
+        k1 = (a_[keep, 0] << np.int64(31)) | a_[keep, 1]
+        k2 = (b_[keep, 0] << np.int64(31)) | b_[keep, 1]
+        uids_l = [uid_col[keep]]
+        small_l = [small_col[keep]]
+        ln_l = [ln[keep]]
         sb = np.abs(((k1 * np.int64(2654435761) + k2) % np.int64(n_buckets)).astype(np.int32))
         return pa.table(
             {
