@@ -45,7 +45,7 @@ def run_bench(headline_only: bool = False) -> dict:
     from rogray.config import ResolveConfig, TopologyConfig
     from rogray.pipelines import detect, resolve
 
-    n_polys = sources.scale_rows(sf_dir)
+    n_polys = int(os.environ.get("ROGRAY_BENCH_ROWS", "0")) or sources.scale_rows(sf_dir)
     docs_path = sources.docs_path_for(sf_dir, n_polys)
     cfg = ResolveConfig(
         topology=TopologyConfig(
@@ -141,14 +141,24 @@ def run_scaling(pairs: int = 3) -> None:
     the sandbox stand-in for the N vs 4N cluster-size criterion.  Each
     pair runs 8-then-32 CPUs back-to-back (headline pipeline only) so
     box-contention noise hits both sides of a ratio comparably; the
-    reported efficiency is the MEDIAN pair."""
+    reported efficiency is the MEDIAN pair.
+
+    Input size: the scaling fixture defaults to 4x the sf0.1 row count
+    (240k polygons, deterministic synthetic layer, same generator as the
+    bench input).  A 4N-node cluster ingesting a web-scale layer has
+    minutes of per-stage work per node; strong-scaling a ~20 s job
+    measures Ray's fixed per-stage latency (~10 s of barrier/straggler
+    floor at any CPU count) instead of the engine.  Override with
+    ROGRAY_SCALING_ROWS; BASELINE.md records both the small-input and
+    scale-representative numbers."""
     import statistics
 
+    rows = os.environ.get("ROGRAY_SCALING_ROWS", "240000")
     runs: list[dict] = []
     for _ in range(pairs):
         pair = {}
         for ncpu in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), ROGRAY_BENCH_ROWS=rows)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env,

@@ -128,6 +128,11 @@ def resolve_overlap_gap(
 
     Output columns: doc_id (winner's; NULL for gap faces), winner_pk,
     other_intersect_id_list, input_geo_is_valid, wkb, area, tile, spans.
+
+    ``overlay_concurrency`` is accepted for API compatibility and ignored:
+    the overlay runs as stateless tasks (groupby.map_groups), so the
+    streaming executor sizes concurrency itself and releases CPUs the
+    moment the stage drains.
     """
     cfg = cfg or ResolveConfig()
     plan = plan or prepare(ds, cfg)
