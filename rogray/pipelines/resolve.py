@@ -713,42 +713,76 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
         """Per segment-key bucket: aggregate to face-adjacency edge rows
         (ua < ub, flags, shared len).  Only segments with >= 1 small side
         matter — merged faces only ever inherit edges of their members, and
-        every member of a merge group was small or adjacent to one."""
+        every member of a merge group was small or adjacent to one.
+
+        Vectorized on the planar-arrangement guarantee that a segment
+        borders at most two faces: after (key, uid) dedup, 1-uid keys are
+        universe edges and 2-uid keys one pair, both emitted with numpy;
+        >2-uid keys (non-planar input the noding quarantine already flags)
+        take the per-key loop."""
+        k1 = g["k1"].to_numpy()
+        k2 = g["k2"].to_numpy()
+        uid = g["uid"].to_numpy()
+        small = g["small"].to_numpy()
+        ln = g["seg_len"].to_numpy()
+        order = np.lexsort((uid, k2, k1))
+        k1, k2, uid, small, ln = k1[order], k2[order], uid[order], small[order], ln[order]
+        # drop duplicate (key, uid) rows (keep first, like drop_duplicates)
+        dup = np.zeros(len(k1), bool)
+        if len(k1) > 1:
+            dup[1:] = (k1[1:] == k1[:-1]) & (k2[1:] == k2[:-1]) & (uid[1:] == uid[:-1])
+        k1, k2, uid, small, ln = k1[~dup], k2[~dup], uid[~dup], small[~dup], ln[~dup]
+        if not len(k1):
+            return pd.DataFrame({"ua": [], "ub": [], "sa": [], "sb_": [], "seg_len": []})
+        starts = np.flatnonzero(np.r_[True, (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])])
+        cnt = np.r_[starts[1:], len(k1)] - starts
+        any_small = np.logical_or.reduceat(small, starts)
         out_a, out_b, out_sa, out_sb, out_ln = [], [], [], [], []
-        for _, idx in g.groupby(["k1", "k2"]).indices.items():
-            sub = g.iloc[idx]
-            if not sub["small"].any():
-                continue
-            rows = sub[["uid", "small", "seg_len"]].drop_duplicates("uid")
-            ln = float(rows["seg_len"].iloc[0])
-            us = rows["uid"].tolist()
-            sm = rows["small"].tolist()
-            if len(rows) == 1:
-                # frontier segment of a small face: the other side is the
-                # universe sink
-                out_a.append(UNIV); out_b.append(us[0])
-                out_sa.append(False); out_sb.append(True)
-                out_ln.append(ln)
-                continue
-            for a in range(len(us)):
-                for b in range(a + 1, len(us)):
+        one = starts[(cnt == 1) & any_small]
+        if len(one):
+            # frontier segments of small faces: the other side is the
+            # universe sink
+            out_a.append(np.full(len(one), UNIV, dtype=object))
+            out_b.append(uid[one])
+            out_sa.append(np.zeros(len(one), bool))
+            out_sb.append(np.ones(len(one), bool))
+            out_ln.append(ln[one])
+        two = starts[(cnt == 2) & any_small]
+        if len(two):
+            ua, ub = uid[two], uid[two + 1]  # uid-sorted within key: ua < ub
+            sa, sb_ = small[two], small[two + 1]
+            out_a.append(ua)
+            out_b.append(ub)
+            out_sa.append(sa)
+            out_sb.append(sb_)
+            out_ln.append(ln[two])
+        for s, c in zip(starts[(cnt > 2) & any_small], cnt[(cnt > 2) & any_small]):
+            us = uid[s : s + c]
+            sm = small[s : s + c]
+            lnk = float(ln[s])
+            for a in range(int(c)):
+                for b in range(a + 1, int(c)):
                     if not (sm[a] or sm[b]):
                         continue
-                    ua, ub = us[a], us[b]
-                    sa, sb_ = sm[a], sm[b]
-                    if ub < ua:
-                        ua, ub, sa, sb_ = ub, ua, sb_, sa
-                    out_a.append(ua)
-                    out_b.append(ub)
-                    out_sa.append(sa)
-                    out_sb.append(sb_)
-                    out_ln.append(ln)
-        df = pd.DataFrame({"ua": out_a, "ub": out_b, "sa": out_sa,
-                           "sb_": out_sb, "seg_len": out_ln})
-        if len(df):
-            df = df.groupby(["ua", "ub"], as_index=False).agg(
-                sa=("sa", "first"), sb_=("sb_", "first"), seg_len=("seg_len", "sum")
-            )
+                    out_a.append(np.array([us[a]], dtype=object))
+                    out_b.append(np.array([us[b]], dtype=object))
+                    out_sa.append(np.array([sm[a]]))
+                    out_sb.append(np.array([sm[b]]))
+                    out_ln.append(np.array([lnk]))
+        if not out_a:
+            return pd.DataFrame({"ua": [], "ub": [], "sa": [], "sb_": [], "seg_len": []})
+        df = pd.DataFrame(
+            {
+                "ua": np.concatenate(out_a),
+                "ub": np.concatenate(out_b),
+                "sa": np.concatenate(out_sa),
+                "sb_": np.concatenate(out_sb),
+                "seg_len": np.concatenate(out_ln),
+            }
+        )
+        df = df.groupby(["ua", "ub"], as_index=False).agg(
+            sa=("sa", "first"), sb_=("sb_", "first"), seg_len=("seg_len", "sum")
+        )
         return df[["ua", "ub", "sa", "sb_", "seg_len"]]
 
     edges = (
