@@ -803,6 +803,15 @@ def _face_table(rows: dict) -> pa.Table:
     )
 
 
+def _cyc_next(r: np.ndarray) -> np.ndarray:
+    """Next vertex per row, cyclic — np.roll(r, -1, axis=0) without its
+    ~25us fixed cost (these run per ring in the stitch hot path)."""
+    nxt = np.empty_like(r)
+    nxt[:-1] = r[1:]
+    nxt[-1] = r[0]
+    return nxt
+
+
 def _default_esc_key(cov_sorted: list[int], min_tile: int) -> str:
     import zlib as _z
 
@@ -810,7 +819,19 @@ def _default_esc_key(cov_sorted: list[int], min_tile: int) -> str:
     return f"g:{_z.crc32(sig_str.encode())}"
 
 
+_EMPTY_COLS = ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")
+
+
+def _merge_cols(dst: dict, src: dict) -> None:
+    for k in _EMPTY_COLS:
+        dst[k].extend(src[k])
+
+
 def _assemble(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) -> pa.Table:
+    return _face_table(_assemble_cols(group, final, esc_key_fn))
+
+
+def _assemble_cols(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) -> dict:
     """Assemble border pieces sharing a coverage signature (one stitch level).
 
     Cancels tile-border segments with same-coverage faces on both sides
@@ -835,11 +856,11 @@ def _assemble(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) -> pa.T
         for r, m in zip(rings, masks):
             if len(r) < 2:
                 continue
-            nxt = np.roll(r, -1, axis=0)
+            nxt = _cyc_next(r)
             seg_list.append(np.concatenate([r, nxt], axis=1))
             mask_list.append(m.astype(np.int64))
     if not seg_list:
-        return _face_table({k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")})
+        return {k: [] for k in _EMPTY_COLS}
     segs = np.concatenate(seg_list)
     tileb = np.concatenate(mask_list)
     # --- vectorized pre-cancellation of exact opposite duplicates ---------
@@ -936,7 +957,7 @@ def _assemble(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) -> pa.T
         cols["others"].append([int(o) for o in others])
         cols["is_valid"].append(is_valid)
         cols["area2"].append(int(f.area2))
-    return _face_table(cols)
+    return cols
 
 
 def _assemble_gap_final(group: pa.Table) -> pa.Table:
@@ -965,16 +986,13 @@ def _assemble_gap_final(group: pa.Table) -> pa.Table:
     the noding-based semantics of the general path.
     """
     by_comp, comp_exposed = _glue_gap_components(group)
-    outs = []
+    cols = {k: [] for k in _EMPTY_COLS}
     for c in sorted(by_comp):
         if comp_exposed[c]:
             continue  # universe: connected to the outside, never emitted
         sub = group.take(pa.array(by_comp[c], pa.int64()))
-        outs.append(_assemble(sub, final=True))
-    outs = [o for o in outs if len(o)]
-    if not outs:
-        return _face_table({k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")})
-    return pa.concat_tables(outs)
+        _merge_cols(cols, _assemble_cols(sub, final=True))
+    return _face_table(cols)
 
 
 def _glue_gap_components(group: pa.Table) -> tuple[dict[int, list[int]], dict[int, bool]]:
@@ -990,7 +1008,7 @@ def _glue_gap_components(group: pa.Table) -> tuple[dict[int, list[int]], dict[in
         for r, m in zip(rings, masks):
             if len(r) < 2:
                 continue
-            nxt = np.roll(r, -1, axis=0)
+            nxt = _cyc_next(r)
             mb = m.astype(bool)
             if not mb.any():
                 continue
@@ -1064,14 +1082,15 @@ def _assemble_gap_partial(group: pa.Table, esc_key_fn) -> pa.Table:
     universe chain is never noded or polygonized at any level (the final
     level drops it wholesale via the same gluing)."""
     by_comp, comp_exposed = _glue_gap_components(group)
-    outs = []
+    cols = {k: [] for k in _EMPTY_COLS}
     fwd_idx: list[int] = []
     for c in sorted(by_comp):
         if comp_exposed[c]:
             fwd_idx.extend(by_comp[c])
         else:
             sub = group.take(pa.array(by_comp[c], pa.int64()))
-            outs.append(_assemble(sub, final=False, esc_key_fn=esc_key_fn))
+            _merge_cols(cols, _assemble_cols(sub, final=False, esc_key_fn=esc_key_fn))
+    outs = [_face_table(cols)] if cols["tile"] else []
     if fwd_idx:
         fwd = group.take(pa.array(sorted(fwd_idx), pa.int64()))
         tiles = fwd["tile"].to_pylist()
@@ -1080,7 +1099,7 @@ def _assemble_gap_partial(group: pa.Table, esc_key_fn) -> pa.Table:
         outs.append(fwd)
     outs = [o for o in outs if len(o)]
     if not outs:
-        return _face_table({k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")})
+        return _face_table({k: [] for k in _EMPTY_COLS})
     return pa.concat_tables(outs)
 
 
@@ -1098,7 +1117,7 @@ def _lone_piece_forwardable(rings: list[np.ndarray], masks: list[np.ndarray]) ->
         if not mb.any():
             continue
         a = r[mb]
-        b = np.roll(r, -1, axis=0)[mb]
+        b = _cyc_next(r)[mb]
         keep = (a[:, 0] != b[:, 0]) | (a[:, 1] != b[:, 1])
         if keep.any():
             segs.append(np.concatenate([a[keep], b[keep]], axis=1))
@@ -1124,6 +1143,7 @@ def _assemble_bucket(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) 
     for i, c in enumerate(covs):
         by_sig.setdefault(tuple(c or []), []).append(i)
     outs = []
+    cols = {k: [] for k in _EMPTY_COLS}
     fwd_idx: list[int] = []
     fwd_keys: list[str] = []
     rings_col = group["rings"].to_pylist() if not final else None
@@ -1145,7 +1165,9 @@ def _assemble_bucket(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) 
                 else _assemble_gap_partial(sub, esc_key_fn)
             )
         else:
-            outs.append(_assemble(sub, final=final, esc_key_fn=esc_key_fn))
+            _merge_cols(cols, _assemble_cols(sub, final=final, esc_key_fn=esc_key_fn))
+    if cols["tile"]:
+        outs.append(_face_table(cols))
     if fwd_idx:
         fwd = group.take(pa.array(fwd_idx, pa.int64()))
         fwd = fwd.set_column(
@@ -1156,7 +1178,7 @@ def _assemble_bucket(group: pa.Table, final: bool, esc_key_fn=_default_esc_key) 
         outs.append(fwd)
     outs = [o for o in outs if len(o)]
     if not outs:
-        return _face_table({k: [] for k in ("tile", "stitch_key", "kind", "rings", "cov", "winner_pk", "others", "is_valid", "area2")})
+        return _face_table({k: [] for k in _EMPTY_COLS})
     return pa.concat_tables(outs)
 
 
@@ -1176,13 +1198,9 @@ class StitchLocal:
             return _default_esc_key(cov_sorted, min_tile)
         import zlib as _z
 
-        tile_level = int(np.uint64(min_tile) >> np.uint64(quadkey.LEVEL_SHIFT))
-        cell = int(
-            quadkey.parent(
-                np.asarray([min_tile], dtype=np.uint64),
-                min(self.mid_level, tile_level),
-            )[0]
-        )
+        lv, ix, iy = quadkey.decode_int(int(min_tile))
+        pl = min(self.mid_level, lv)
+        cell = quadkey.encode_int(pl, ix >> (lv - pl), iy >> (lv - pl))
         sig_str = ",".join(map(str, cov_sorted))
         return f"m:{_z.crc32(sig_str.encode())}:{cell}"
 
