@@ -42,24 +42,38 @@ class TileFace:
     masks: list[np.ndarray] | None = None  # per ring: 1 where the edge is pure tile border
 
 
-def _ring_masks(face, labels, bounds=None) -> list[np.ndarray]:
+def _tile_only_arr(labels) -> np.ndarray:
+    """Per-SEGMENT pure-tile-border flags, computed once per arrangement
+    (the per-face mask builder fancy-indexes it — the old per-face lambda
+    walked every label set once per face)."""
+    return np.fromiter(
+        (all(p == TILE_ID for p, _ in lab) for lab in labels),
+        dtype=bool,
+        count=len(labels),
+    )
+
+
+def _ring_masks(face, tile_only: np.ndarray, bounds=None) -> list[np.ndarray]:
     """Per ring-edge tile-border flags.
 
-    An edge is "border" when it carries only TILE_ID labels, OR (with
-    ``bounds`` given) when it lies geometrically ON the tile rectangle —
-    the latter covers clipped giant-polygon runs along the rect, whose
-    segments also carry the polygon label but must cancel against the
-    neighbouring tile's identical run in the stitch."""
-    tile_only = lambda i: 1 if all(p == TILE_ID for p, _ in labels[i]) else 0
+    An edge is "border" when it carries only TILE_ID labels (``tile_only``
+    from _tile_only_arr), OR (with ``bounds`` given) when it lies
+    geometrically ON the tile rectangle — the latter covers clipped
+    giant-polygon runs along the rect, whose segments also carry the
+    polygon label but must cancel against the neighbouring tile's
+    identical run in the stitch."""
     out = []
     rings = [face.shell] + list(face.holes)
     segidx = [face.shell_seg] + list(face.holes_seg)
     for ring, arr in zip(rings, segidx):
-        m = np.asarray([tile_only(int(i)) for i in arr], dtype=np.uint8)
+        idx = np.asarray(arr, dtype=np.int64)
+        m = tile_only[idx].astype(np.uint8)
         if bounds is not None and len(ring):
             x0, y0, x1, y1 = bounds
             a = ring
-            b = np.roll(ring, -1, axis=0)
+            b = np.empty_like(a)
+            b[:-1] = a[1:]
+            b[-1] = a[0]
             on = (
                 ((a[:, 0] == b[:, 0]) & ((a[:, 0] == x0) | (a[:, 0] == x1)))
                 | ((a[:, 1] == b[:, 1]) & ((a[:, 1] == y0) | (a[:, 1] == y1)))
@@ -175,6 +189,7 @@ def overlay_tile(
     if min_area2_px and kept:
         out = _merge_small_faces(arr, kept, min_area2_px, area2_fn, tile_bounds)
     else:
+        tonly = _tile_only_arr(arr.labels)
         out = [
             TileFace(
                 [f.shell] + f.holes,
@@ -183,7 +198,7 @@ def overlay_tile(
                 TILE_ID in f.touches,
                 f.cov - {TILE_ID},
                 f.touches - {TILE_ID},
-                _ring_masks(f, arr.labels, tile_bounds),
+                _ring_masks(f, tonly, tile_bounds),
             )
             for f in kept
         ]
@@ -292,6 +307,7 @@ def _merge_small_faces(
     sub_segs = arr.segs[surv]
     sub_labels = [arr.labels[i] for i in surv]
     arr2 = polygonize.polygonize(sub_segs, sub_labels)
+    tonly2 = _tile_only_arr(arr2.labels)
     # map new faces to old groups via a boundary segment's left side
     orig_left = {k: side_group(int(arr.cycle_left[i])) for k, i in enumerate(surv)}
     orig_right = {k: side_group(int(arr.cycle_right[i])) for k, i in enumerate(surv)}
@@ -331,7 +347,7 @@ def _merge_small_faces(
                 TILE_ID in nf.touches,
                 cov,
                 nf.touches - {TILE_ID},
-                _ring_masks(nf, arr2.labels, tile_bounds),
+                _ring_masks(nf, tonly2, tile_bounds),
             )
         )
     return out
@@ -363,29 +379,41 @@ def heal_border_touch_vertices(
     there, and they are near-collinear.  Both faces adjacent to the edge
     apply the same rule, so shared edges stay identical."""
     x0, y0, x1, y1 = bounds
-    deg_real: dict[tuple[int, int], int] = {}
-    for i in range(len(arr.segs)):
-        if all(p == TILE_ID for p, _ in arr.labels[i]):
-            continue
-        s = arr.segs[i]
-        for pt in ((int(s[0]), int(s[1])), (int(s[2]), int(s[3]))):
-            deg_real[pt] = deg_real.get(pt, 0) + 1
-
-    def on_border(p):
-        return p[0] == x0 or p[0] == x1 or p[1] == y0 or p[1] == y1
+    # degree-2 REAL-segment endpoints ON the border, counted vectorized
+    # (coords < 2^28 and nonnegative, so x<<31|y packs collision-free —
+    # same packing as the dissolve's segment keys)
+    segs = arr.segs
+    deg2: set[int] = set()
+    if len(segs):
+        real = segs[~_tile_only_arr(arr.labels)]
+        pts = np.concatenate([real[:, :2], real[:, 2:]])
+        onb = (pts[:, 0] == x0) | (pts[:, 0] == x1) | (pts[:, 1] == y0) | (pts[:, 1] == y1)
+        pts = pts[onb]
+        if len(pts):
+            key = (pts[:, 0].astype(np.int64) << np.int64(31)) | pts[:, 1]
+            u, c = np.unique(key, return_counts=True)
+            deg2 = set(u[c == 2].tolist())
 
     for f in faces:
         new_rings, new_masks = [], []
         for k, r in enumerate(f.rings):
             m = f.masks[k] if f.masks else np.zeros(len(r), dtype=np.uint8)
+            onb = (r[:, 0] == x0) | (r[:, 0] == x1) | (r[:, 1] == y0) | (r[:, 1] == y1)
+            if not onb.any():  # interior ring: nothing to heal
+                new_rings.append(r)
+                new_masks.append(m)
+                continue
             changed = True
             r = r.copy()
             m = m.copy()
             while changed and len(r) > 3:
                 changed = False
-                for i in range(len(r)):
-                    v = (int(r[i, 0]), int(r[i, 1]))
-                    if not on_border(v) or deg_real.get(v, 0) != 2:
+                cand = np.flatnonzero(
+                    (r[:, 0] == x0) | (r[:, 0] == x1) | (r[:, 1] == y0) | (r[:, 1] == y1)
+                )
+                for i in cand:
+                    i = int(i)
+                    if (int(r[i, 0]) << 31) | int(r[i, 1]) not in deg2:
                         continue
                     if m[i - 1] or m[i]:
                         continue  # incident edge runs along the border
