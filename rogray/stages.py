@@ -1275,15 +1275,6 @@ class FinalizeJoined:
 
         w_doc = t["w_doc_id"].to_pylist() if "w_doc_id" in t.column_names else [None] * n
         w_json = t["w_spans_json"].to_pylist() if "w_spans_json" in t.column_names else [None] * n
-        w_spans = [
-            None
-            if j is None
-            else [
-                {"kind": k, "text": x, "media_ref": m, "offset": o}
-                for k, x, m, o in json.loads(j)
-            ]
-            for j in w_json
-        ]
         # batched geometry kernels: ONE parse of all packed ring buffers,
         # one unsnap/trig pass, one memcpy per ring for the WKB payload —
         # bit- and byte-identical to the per-face path (differential test
@@ -1295,24 +1286,58 @@ class FinalizeJoined:
             out_area = core.planar_area_packed(coords, offs, lens, face_nr, g.precision)
         else:
             out_area = core.geodesic_area_packed(F, offs, lens, face_nr)
-        out_docid, out_spans = [], []
+        # output spans column built as FLAT Arrow arrays (kind/text/ref/off
+        # + list offsets) — pa.array over per-row lists of dicts was the
+        # finalize stage's remaining hot spot.  Semantics identical to
+        # rewrite_geometry_span: first geometry span's text becomes the
+        # face's own WKB hex; everything else passes through in order.
+        out_docid: list = []
+        kinds_f: list = []
+        texts_f: list = []
+        refs_f: list = []
+        offs_f: list = []
+        row_off = np.empty(n + 1, np.int32)
+        row_off[0] = 0
+        GEOM = spans_mod.GEOMETRY_KIND
         for i in range(n):
-            b = out_wkb[i]
+            bhex = out_wkb[i].hex()
             if winner[i] is None or int(winner[i]) < 0 or w_doc[i] is None:
                 out_docid.append(None)
-                out_spans.append(
-                    [
-                        {
-                            "kind": spans_mod.GEOMETRY_KIND,
-                            "text": b.hex(),
-                            "media_ref": "",
-                            "offset": 0,
-                        }
-                    ]
-                )
+                kinds_f.append(GEOM)
+                texts_f.append(bhex)
+                refs_f.append("")
+                offs_f.append(0)
+                row_off[i + 1] = row_off[i] + 1
             else:
                 out_docid.append(w_doc[i])
-                out_spans.append(spans_mod.rewrite_geometry_span(w_spans[i], b.hex()))
+                spans = json.loads(w_json[i])
+                done = False
+                for k_, t_, m_, o_ in spans:
+                    if not done and k_ == GEOM:
+                        t_ = bhex
+                        done = True
+                    kinds_f.append(k_)
+                    texts_f.append(t_)
+                    refs_f.append(m_)
+                    offs_f.append(o_)
+                if not done:
+                    kinds_f.append(GEOM)
+                    texts_f.append(bhex)
+                    refs_f.append("")
+                    offs_f.append((spans[-1][3] + 1) if spans else 0)
+                row_off[i + 1] = row_off[i] + len(spans) + (0 if done else 1)
+        spans_col = pa.ListArray.from_arrays(
+            pa.array(row_off, pa.int32()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(kinds_f, pa.string()),
+                    pa.array(texts_f, pa.string()),
+                    pa.array(refs_f, pa.string()),
+                    pa.array(offs_f, pa.int32()),
+                ],
+                fields=list(spans_mod.SPAN_TYPE),
+            ),
+        )
         win_col = [None if (w is None or int(w) < 0) else int(w) for w in winner]
         others = [
             [int(x) for x in (s or "").split(",") if x]
@@ -1327,6 +1352,6 @@ class FinalizeJoined:
                 "wkb": pa.array(out_wkb, pa.large_binary()),
                 "area": pa.array(out_area, pa.float64()),
                 "tile": t["tile"].combine_chunks(),
-                "spans": pa.array(out_spans, spans_mod.SPANS_TYPE),
+                "spans": spans_col,
             }
         )
