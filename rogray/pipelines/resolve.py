@@ -424,7 +424,10 @@ def _finalize_join_broadcast(stitched, ds, grid, utm):
             }
         )
 
-    slim = ds.map_batches(docs_slim, batch_format="pyarrow").materialize()
+    # sort ONCE here so every attach worker skips its own argsort+take of
+    # the whole payload (at the 256 MB gate that is real per-worker work);
+    # block order out of sort is the dataset order, verified cheaply below
+    slim = ds.map_batches(docs_slim, batch_format="pyarrow").sort("jk").materialize()
     refs = [r for r in slim.to_arrow_refs()]
     cache_key = tuple(r.hex() for r in refs)
 
@@ -437,12 +440,19 @@ def _finalize_join_broadcast(stitched, ds, grid, utm):
             if parts:
                 docs = pa.concat_tables(parts)
                 jk = docs["jk"].to_numpy()
-                order = np.argsort(jk, kind="stable")
-                got = (
-                    jk[order],
-                    docs["w_doc_id"].combine_chunks().take(pa.array(order, pa.int64())),
-                    docs["w_spans_json"].combine_chunks().take(pa.array(order, pa.int64())),
-                )
+                if len(jk) > 1 and not (jk[1:] >= jk[:-1]).all():
+                    order = np.argsort(jk, kind="stable")  # defensive
+                    got = (
+                        jk[order],
+                        docs["w_doc_id"].combine_chunks().take(pa.array(order, pa.int64())),
+                        docs["w_spans_json"].combine_chunks().take(pa.array(order, pa.int64())),
+                    )
+                else:
+                    got = (
+                        jk,
+                        docs["w_doc_id"].combine_chunks(),
+                        docs["w_spans_json"].combine_chunks(),
+                    )
             else:
                 got = (np.empty(0, np.int64), pa.array([], pa.string()), pa.array([], pa.string()))
             _BCAST_CACHE.clear()  # at most one payload per worker
