@@ -299,19 +299,15 @@ def extent_of_docs(ds) -> tuple[float, float, float, float]:
 
     def partial(t: pa.Table) -> pa.Table:
         wkbs = spans_mod.extract_geometry_wkb(t["spans"])
-        mnx = mny = np.inf
-        mxx = mxy = -np.inf
-        for wb in wkbs:
-            if not wb:
-                continue
-            try:
-                for r in wkb.decode_polygon_rings(wb):
-                    mnx = min(mnx, float(r[:, 0].min()))
-                    mny = min(mny, float(r[:, 1].min()))
-                    mxx = max(mxx, float(r[:, 0].max()))
-                    mxy = max(mxy, float(r[:, 1].max()))
-            except wkb.WkbError:
-                continue
+        # bbox-only scan (covers line layers too — they participate in the
+        # arrangement, so the frame must contain them)
+        _, bmnx, bmny, bmxx, bmxy = wkb.scan_coord_bboxes(wkbs)
+        if len(bmnx):
+            mnx, mny = float(bmnx.min()), float(bmny.min())
+            mxx, mxy = float(bmxx.max()), float(bmxy.max())
+        else:
+            mnx = mny = np.inf
+            mxx = mxy = -np.inf
         return pa.table(
             {"minx": [mnx], "miny": [mny], "maxx": [mxx], "maxy": [mxy]}
         )
