@@ -998,32 +998,30 @@ def _glue_gap_components(group: pa.Table) -> tuple[dict[int, list[int]], dict[in
     Exposed = some border stretch has no partner inside this group."""
     n = len(group)
     rings_col = group["rings"].to_pylist()
-    lines, los, his, pids = [], [], [], []
+    # vectorized interval extraction: per masked border segment, the
+    # (axis, line coord, lo, hi) of its axis-aligned stretch
+    ax_l, co_l, lo_l, hi_l, pid_l = [], [], [], [], []
     for i in range(n):
         rings, masks = unpack_rings(rings_col[i])
         for r, m in zip(rings, masks):
             if len(r) < 2:
                 continue
-            nxt = _cyc_next(r)
             mb = m.astype(bool)
             if not mb.any():
                 continue
             a = r[mb]
-            b = nxt[mb]
+            b = _cyc_next(r)[mb]
             vert = a[:, 0] == b[:, 0]
-            for k in range(len(a)):
-                if vert[k]:
-                    key = (1, int(a[k, 0]))
-                    lo, hi = sorted((int(a[k, 1]), int(b[k, 1])))
-                else:
-                    key = (0, int(a[k, 1]))
-                    lo, hi = sorted((int(a[k, 0]), int(b[k, 0])))
-                if lo == hi:
-                    continue
-                lines.append(key)
-                los.append(lo)
-                his.append(hi)
-                pids.append(i)
+            lo_ = np.where(vert, np.minimum(a[:, 1], b[:, 1]), np.minimum(a[:, 0], b[:, 0]))
+            hi_ = np.where(vert, np.maximum(a[:, 1], b[:, 1]), np.maximum(a[:, 0], b[:, 0]))
+            keep = lo_ != hi_
+            if not keep.any():
+                continue
+            ax_l.append(vert[keep])
+            co_l.append(np.where(vert, a[:, 0], a[:, 1])[keep])
+            lo_l.append(lo_[keep])
+            hi_l.append(hi_[keep])
+            pid_l.append(np.full(int(keep.sum()), i, np.int64))
     parent = list(range(n))
 
     def find(x: int) -> int:
@@ -1033,17 +1031,27 @@ def _glue_gap_components(group: pa.Table) -> tuple[dict[int, list[int]], dict[in
         return x
 
     exposed = [False] * n
-    order = sorted(range(len(lines)), key=lambda k: (lines[k], los[k]))
+    if ax_l:
+        axes = np.concatenate(ax_l)
+        coords = np.concatenate(co_l)
+        los = np.concatenate(lo_l)
+        his = np.concatenate(hi_l)
+        pids = np.concatenate(pid_l)
+        order = np.lexsort((los, coords, axes))
+    else:
+        order = np.empty(0, np.int64)
+    los_t, his_t, pids_t = (los.tolist(), his.tolist(), pids.tolist()) if len(order) else ([], [], [])
+    order_t = order.tolist()
     k0 = 0
-    while k0 < len(order):
+    while k0 < len(order_t):
         k1 = k0
-        line = lines[order[k0]]
-        while k1 < len(order) and lines[order[k1]] == line:
+        o0 = order_t[k0]
+        while k1 < len(order_t) and axes[order_t[k1]] == axes[o0] and coords[order_t[k1]] == coords[o0]:
             k1 += 1
         evs = []
-        for k in order[k0:k1]:
-            evs.append((los[k], 1, pids[k]))
-            evs.append((his[k], 0, pids[k]))
+        for k in order_t[k0:k1]:
+            evs.append((los_t[k], 1, pids_t[k]))
+            evs.append((his_t[k], 0, pids_t[k]))
         evs.sort(key=lambda e: (e[0], e[1]))
         active: dict[int, int] = {}
         prev_pos = None
