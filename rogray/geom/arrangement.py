@@ -105,7 +105,9 @@ def rings_to_segments(
         r = np.asarray(r, dtype=np.int64)
         if len(r) < 2:
             continue
-        nxt = np.roll(r, -1, axis=0)
+        nxt = np.empty_like(r)
+        nxt[:-1] = r[1:]
+        nxt[-1] = r[0]
         segs.append(np.concatenate([r, nxt], axis=1))
     if not segs:
         return np.empty((0, 4), dtype=np.int64), []
@@ -186,10 +188,10 @@ def overlay_tile(
     arr = polygonize.polygonize(segs, labels)
 
     kept = [f for f in arr.faces if TILE_ID in f.cov]
+    tonly = _tile_only_arr(arr.labels)
     if min_area2_px and kept:
         out = _merge_small_faces(arr, kept, min_area2_px, area2_fn, tile_bounds)
     else:
-        tonly = _tile_only_arr(arr.labels)
         out = [
             TileFace(
                 [f.shell] + f.holes,
@@ -202,7 +204,7 @@ def overlay_tile(
             )
             for f in kept
         ]
-    heal_border_touch_vertices(out, arr, tile_bounds)
+    heal_border_touch_vertices(out, arr, tile_bounds, tile_only=tonly)
     if smooth:
         smooth_tile_faces(out, arr, tile_bounds, **smooth)
     return out
@@ -373,6 +375,7 @@ def heal_border_touch_vertices(
     faces: list[TileFace],
     arr: polygonize.Arrangement,
     bounds: tuple[int, int, int, int],
+    tile_only: np.ndarray | None = None,
 ) -> None:
     """Remove ring vertices where a real edge touches (not crosses) the tile
     border: the vertex lies on the border line, exactly 2 real segments meet
@@ -385,7 +388,9 @@ def heal_border_touch_vertices(
     segs = arr.segs
     deg2: set[int] = set()
     if len(segs):
-        real = segs[~_tile_only_arr(arr.labels)]
+        if tile_only is None:
+            tile_only = _tile_only_arr(arr.labels)
+        real = segs[~tile_only]
         pts = np.concatenate([real[:, :2], real[:, 2:]])
         onb = (pts[:, 0] == x0) | (pts[:, 0] == x1) | (pts[:, 1] == y0) | (pts[:, 1] == y1)
         pts = pts[onb]
