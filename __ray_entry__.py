@@ -335,6 +335,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_cell_cover": lambda sf: __import__(
             "rogray.rectlayer", fromlist=["rect_cell_cover"]
         ).rect_cell_cover(sf),
+        "rect_line_cover_len": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_line_cover_len"]
+        ).rect_line_cover_len(sf),
     }
 
 
@@ -454,6 +457,11 @@ def oracle_sql() -> dict[str, str]:
         "rect_cell_cover": __import__(
             "rogray.rectlayer", fromlist=["rect_cell_cover_sql"]
         ).rect_cell_cover_sql(),
+        # line layer (M1/M2 incl. recovered dangles): per-(line, rect)
+        # clipped length vs pure interval arithmetic
+        "rect_line_cover_len": __import__(
+            "rogray.rectlayer", fromlist=["rect_line_cover_len_sql"]
+        ).rect_line_cover_len_sql(),
         # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap
         # family and other geometry pipelines (DuckDB has no spatial ext
         # here), text_lang_id (heuristic), ann_ivf_topk (k-means training;

@@ -207,7 +207,11 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
             break
         alive &= ~bad
     if not alive.any():
-        return Arrangement(segs, labels, [], np.empty(0, np.int64), np.empty(0, np.int64), {}, {}, set(), {})
+        # EVERYTHING pruned: present a consistent fully-empty arrangement
+        # (segs and the per-segment cycle arrays must stay aligned —
+        # carrying the input segs with empty cycle arrays crashed callers
+        # that index cycles by segment position)
+        return Arrangement(segs[:0], [], [], np.empty(0, np.int64), np.empty(0, np.int64), {}, {}, set(), {})
     keep_idx = np.flatnonzero(alive)
     segs = segs[keep_idx]
     labels = [labels[i] for i in keep_idx]

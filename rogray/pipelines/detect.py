@@ -297,6 +297,65 @@ class TileEdges:
             out["left_cov"].append(sorted(lc))
             out["right_cov"].append(sorted(rc))
             out["source_pks"].append(sorted({p for p, _ in arr.labels[k]}))
+        # dangling line pieces: polygonize prunes degree-1 chains (they
+        # bound no face), but PostGIS topology keeps them as edges — so
+        # does the reference's edge_data.  Recover them here: a pruned
+        # noded segment lies strictly inside ONE face (its interior holds
+        # no nodes), so both covers equal that face's coverage, found by
+        # an even-odd raycast on doubled coordinates (the doubled midpoint
+        # is exact and never on a boundary).
+        kept_keys = {tuple(s) for s in arr.segs.tolist()}
+        pruned = [
+            k
+            for k in range(len(segs))
+            if tuple(segs[k].tolist()) not in kept_keys
+            and any(p != arr_mod.TILE_ID for p, _ in labels[k])
+        ]
+        if pruned:
+            from ..geom import core
+
+            face_rings = []
+            for f in arr.faces:
+                rings2 = [np.asarray(r, np.int64) * 2 for r in [f.shell] + f.holes]
+                bb = (
+                    min(int(r[:, 0].min()) for r in rings2),
+                    min(int(r[:, 1].min()) for r in rings2),
+                    max(int(r[:, 0].max()) for r in rings2),
+                    max(int(r[:, 1].max()) for r in rings2),
+                ) if rings2 else (0, 0, -1, -1)
+                face_rings.append((rings2, bb, f.cov))
+            for k in pruned:
+                s = segs[k]
+                piece = _clip_seg_to_tile(
+                    int(s[0]), int(s[1]), int(s[2]), int(s[3]), x0, y0, x1, y1
+                )
+                if piece is None:
+                    continue
+                ax, ay, bx, by = piece
+                mx = (ax + bx) / 2.0
+                my = (ay + by) / 2.0
+                if not (x0 <= mx < x1 and y0 <= my < y1):
+                    continue
+                qx, qy = ax + bx, ay + by  # doubled midpoint (exact int)
+                cov = frozenset()
+                for rings2, bb, fcov in face_rings:
+                    if not (bb[0] <= qx <= bb[2] and bb[1] <= qy <= bb[3]):
+                        continue
+                    crossings = sum(
+                        core.point_in_ring_crossings(qx, qy, r) for r in rings2
+                    )
+                    if crossings % 2 == 1:
+                        cov = fcov  # raw face cover, TILE_ID included —
+                        break       # same semantics as the cycle_cov rows
+                out["x1"].append(ax)
+                out["y1"].append(ay)
+                out["x2"].append(bx)
+                out["y2"].append(by)
+                out["length"].append(math.hypot(bx - ax, by - ay) * g.precision)
+                lc_s = sorted(cov)
+                out["left_cov"].append(lc_s)
+                out["right_cov"].append(lc_s)
+                out["source_pks"].append(sorted({p for p, _ in labels[k]}))
         return pa.table(
             {
                 "tile": pa.array([tile] * len(out["x1"]), pa.int64()),

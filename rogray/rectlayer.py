@@ -748,3 +748,128 @@ SELECT k AS doc_key, cx,
 FROM xr
 ORDER BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# companion line layer: one horizontal polyline per part row.  Odd y
+# coordinates + even rectangle edges mean a line is never collinear with a
+# rectangle boundary or a tile border, so the length of line k inside
+# rectangle r is the pure interval overlap DuckDB computes below — the
+# exact-SQL oracle for the line-layer noding path (M1/M2), including
+# DANGLING pieces (line ends strictly inside a region), which PostGIS
+# topology keeps as edges and extract_edges recovers after polygonize
+# prunes them.
+# ---------------------------------------------------------------------------
+
+_LINE_BASE = 10_000_000
+
+# Line formulas — keep in exact sync with _LINE_CTE below.
+#   y  = 2*((k*13) % 1100) + 1   (odd)
+#   x1 = 2*((k*17) % 1000)       (even)
+#   x2 = x1 + 2*(10 + (k*7) % 300)
+_LINE_CTE = """
+line AS (
+    SELECT p_partkey AS k,
+           2 * ((p_partkey * 17) % 1000) AS x1,
+           2 * ((p_partkey * 13) % 1100) + 1 AS y,
+           2 * ((p_partkey * 17) % 1000) + 2 * (10 + (p_partkey * 7) % 300) AS x2
+    FROM part
+)
+"""
+
+
+def line_coords(k: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    x1 = 2 * ((k * 17) % 1000)
+    y = 2 * ((k * 13) % 1100) + 1
+    x2 = x1 + 2 * (10 + (k * 7) % 300)
+    return x1, y, x2
+
+
+def _lines_to_docs(t: pa.Table) -> pa.Table:
+    k = t["p_partkey"].to_numpy().astype(np.int64)
+    x1, y, x2 = line_coords(k)
+    doc_ids, span_lists = [], []
+    for i in range(len(k)):
+        pts = np.array([[x1[i], y[i]], [x2[i], y[i]]], dtype=np.float64)
+        doc_ids.append(str(int(k[i]) + _LINE_BASE))
+        span_lists.append(
+            [(spans_mod.GEOMETRY_KIND, wkb.encode_linestring(pts).hex(), "", 0)]
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "spans": spans_mod.make_spans_column(span_lists),
+        }
+    )
+
+
+def rect_line_docs(sf_dir: str):
+    """Rectangles + companion lines as one span-document Dataset."""
+    import ray.data as rd
+
+    lines = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"]).map_batches(
+        _lines_to_docs, batch_format="pyarrow"
+    )
+    return rect_docs(sf_dir).union(lines)
+
+
+def rect_line_cover_len(sf_dir: str):
+    """Length of each line inside each rectangle, via the REAL noded edge
+    listing: noded line pieces inherit the coverage of the region they lie
+    in (left cover == right cover off-boundary), so summing piece lengths
+    per (line, covering rect) reproduces the interval overlap exactly."""
+    docs = rect_line_docs(sf_dir)
+    cfg = rect_cfg()
+    plan = rect_plan(docs, cfg)
+    edges = detect.extract_edges(docs, cfg, plan)
+
+    def explode(t: pa.Table) -> pa.Table:
+        lk, rk, ln = [], [], []
+        srcs = t["source_pks"].to_pylist()
+        covs = t["left_cov"].to_pylist()
+        lens = t["length"].to_numpy()
+        for i in range(len(t)):
+            line_pks = [p for p in srcs[i] if p >= _LINE_BASE]
+            if not line_pks:
+                continue
+            rect_pks = [c for c in (covs[i] or []) if 0 <= c < _LINE_BASE]
+            for lp in line_pks:
+                for rp in rect_pks:
+                    lk.append(lp - _LINE_BASE)
+                    rk.append(rp)
+                    ln.append(float(lens[i]))
+        return pa.table(
+            {
+                "line_k": pa.array(lk, pa.int64()),
+                "rect_k": pa.array(rk, pa.int64()),
+                "len": pa.array(ln, pa.float64()),
+            }
+        )
+
+    agg = edges.map_batches(explode, batch_format="pyarrow").groupby(
+        ["line_k", "rect_k"]
+    ).sum("len")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "line_k": t["line_k"].combine_chunks(),
+                "rect_k": t["rect_k"].combine_chunks(),
+                "cov_len": pc.round(t["sum(len)"]).cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rect_line_cover_len_sql() -> str:
+    return f"""
+WITH {_RECT_CTE},
+{_LINE_CTE.strip().rstrip()}
+SELECT l.k AS line_k, r.k AS rect_k,
+       LEAST(l.x2, r.x2) - GREATEST(l.x1, r.x1) AS cov_len
+FROM line l JOIN rect r
+  ON l.y > r.y1 AND l.y < r.y2
+ AND LEAST(l.x2, r.x2) > GREATEST(l.x1, r.x1)
+ORDER BY 1, 2
+"""

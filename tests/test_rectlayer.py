@@ -258,3 +258,54 @@ class TestCellCover:
         assert (lvl == 9).all()
         assert (cx == df["cx"].to_numpy()).all()
         assert (cy == df["cy"].to_numpy()).all()
+
+
+class TestLineCoverOracle:
+    def test_line_cover_len_exact(self, ray_session):
+        got = _assert_exact(
+            rectlayer.rect_line_cover_len(SF), rectlayer.rect_line_cover_len_sql()
+        )
+        assert len(got) > 0 and (got["cov_len"] > 0).all()
+
+
+class TestDanglingLineEdges:
+    def test_dangling_piece_keeps_coverage(self, ray_session):
+        """A line ENDING inside a polygon is a dangle (bounds no face);
+        PostGIS topology still lists it as an edge — extract_edges must
+        recover the pruned pieces with the containing region's coverage
+        and the exact total length."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from rogray import spans as spans_mod
+        from rogray.config import ResolveConfig, TopologyConfig
+        from rogray.geom import wkb
+        from rogray.pipelines import detect
+
+        poly = np.array([[2.0, 2.0], [6.0, 2.0], [6.0, 6.0], [2.0, 6.0]])
+        line = np.array([[4.0, 4.0], [9.0, 4.1]])  # starts INSIDE the polygon
+        docs = pa.table(
+            {
+                "doc_id": pa.array(["1", "2"]),
+                "spans": spans_mod.make_spans_column(
+                    [
+                        [(spans_mod.GEOMETRY_KIND, wkb.encode_polygon([poly]).hex(), "", 0)],
+                        [(spans_mod.GEOMETRY_KIND, wkb.encode_linestring(line).hex(), "", 0)],
+                    ]
+                ),
+            }
+        )
+        cfg = ResolveConfig(
+            topology=TopologyConfig(
+                snap_tolerance=0.01, utm=True, max_rows_in_each_cell=10, base_level=1
+            )
+        )
+        edges = detect.extract_edges(rd.from_arrow(docs), cfg).to_pandas()
+        line_rows = edges[edges.source_pks.map(lambda s: 2 in list(s))]
+        assert len(line_rows) >= 2  # inside piece + outside piece(s)
+        total = line_rows.length.sum()
+        assert abs(total - np.hypot(5.0, 0.1)) < 0.05  # snapped ~= exact
+        inside = line_rows[line_rows.left_cov.map(lambda c: 1 in list(c))]
+        assert len(inside) >= 1  # the dangling piece carries the polygon pk
+        assert (inside.left_cov.map(tuple) == inside.right_cov.map(tuple)).all()
