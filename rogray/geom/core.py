@@ -160,6 +160,31 @@ def geodesic_area_packed(
     return out
 
 
+def area_faces(
+    faces_rings: list[list[np.ndarray]],
+    utm: bool,
+    origin_x: float,
+    origin_y: float,
+    precision: float,
+) -> np.ndarray:
+    """planar/geodesic area for many faces given as ring lists —
+    bit-identical to calling the scalar kernels per face (same packed
+    layout the finalize stage uses)."""
+    rings = [np.asarray(r, np.int64) for fr in faces_rings for r in fr]
+    lens = np.asarray([len(r) for r in rings], np.int64)
+    offs = (
+        np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        if len(lens)
+        else np.empty(0, np.int64)
+    )
+    coords = np.concatenate(rings) if rings else np.empty((0, 2), np.int64)
+    face_nr = np.asarray([len(fr) for fr in faces_rings], np.int64)
+    if utm:
+        return planar_area_packed(coords, offs, lens, face_nr, precision)
+    F = unsnap(coords, origin_x, origin_y, precision)
+    return geodesic_area_packed(F, offs, lens, face_nr)
+
+
 def _signed_area2_from_concat(
     coords: np.ndarray, offs: np.ndarray, lens: np.ndarray
 ) -> np.ndarray:

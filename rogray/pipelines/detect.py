@@ -51,17 +51,22 @@ class TileDetect:
             for i in range(len(group))
         ]
         faces = arrangement.overlay_tile(polys, bounds)
+        # one batched area pass over all report-relevant faces
+        need = [f for f in faces if len(f.cov) >= 2 or len(f.cov) == 0]
+        areas_np = core.area_faces(
+            [f.rings for f in need], self.utm, g.origin_x, g.origin_y, g.precision
+        )
         over: dict[tuple[int, int], float] = {}
         gap_area = 0.0
         n_gap_faces = 0
-        for f in faces:
+        for f, a in zip(need, areas_np):
             cov = sorted(f.cov)
             if len(cov) >= 2:
-                a = self._area(f.rings)
+                a = float(a)
                 for i, j in combinations(cov, 2):
                     over[(i, j)] = over.get((i, j), 0.0) + a
-            elif len(cov) == 0:
-                gap_area += self._area(f.rings)
+            else:
+                gap_area += float(a)
                 n_gap_faces += 1
         kinds, id1, id2, areas = [], [], [], []
         for (i, j), a in sorted(over.items()):
@@ -171,16 +176,14 @@ class TileCoverageDepth:
             for i in range(len(group))
         ]
         faces = arrangement.overlay_tile(polys, bounds)
+        need = [f for f in faces if len(f.cov) > 0]
+        areas_np = core.area_faces(
+            [f.rings for f in need], self.utm, g.origin_x, g.origin_y, g.precision
+        )
         by_depth: dict[int, float] = {}
-        for f in faces:
+        for f, a in zip(need, areas_np):
             d = len(f.cov)
-            if d == 0:
-                continue
-            if self.utm:
-                a = core.planar_area(f.rings, g.precision)
-            else:
-                a = core.geodesic_area(f.rings, g.origin_x, g.origin_y, g.precision)
-            by_depth[d] = by_depth.get(d, 0.0) + a
+            by_depth[d] = by_depth.get(d, 0.0) + float(a)
         depths = sorted(by_depth)
         return pa.table(
             {
