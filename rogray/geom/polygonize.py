@@ -410,6 +410,28 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
     for s, e in zip(grp_starts.tolist(), grp_ends.tolist()):
         cyc_segs_by_comp.setdefault(int(comp_sorted_d[s]), {})[int(cyc_sorted_d[s])] = seg_sorted_d[s:e]
 
+    # EVEN-ODD toggles (symmetric difference), precomputed once per
+    # segment: crossing a segment flips membership for every poly whose
+    # boundary it carries with exactly one orientation.  For valid
+    # (simple) polygons this is identical to the directional
+    # remove-left/add-right update; for INVALID self-crossing boundaries
+    # the directional update is path-dependent (two BFS spanning trees can
+    # disagree), which made coverage — and therefore winner attribution —
+    # depend on the tiling.  Even-odd is Z2-consistent for any
+    # node-parity-even boundary, i.e. deterministic and tiling-independent.
+    def _tog(lab) -> frozenset:
+        sides: dict[int, int] = {}
+        for p, s in lab:
+            m = sides.get(p)
+            if m is None:
+                sides[p] = s
+            elif m != s:
+                sides[p] = -2  # both orientations: no toggle
+        return frozenset(p for p, s in sides.items() if s != -2)
+
+    tog_of = [_tog(lab) for lab in labels]
+    pids_of = [frozenset(p for p, _ in lab) for lab in labels]
+
     for c in comp_order:
         cc = containing_cycle[c]
         outside = frozenset() if cc == -1 else cycle_cov[cc]
@@ -423,20 +445,7 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
             for i in cyc_segs.get(cur, ()):
                 left = int(cycle_of[2 * i])
                 right = int(cycle_of[2 * i + 1])
-                # EVEN-ODD toggles (symmetric difference): crossing a
-                # segment flips membership for every poly whose boundary it
-                # carries with exactly one orientation.  For valid (simple)
-                # polygons this is identical to the directional
-                # remove-left/add-right update; for INVALID self-crossing
-                # boundaries the directional update is path-dependent (two
-                # BFS spanning trees can disagree), which made coverage —
-                # and therefore winner attribution — depend on the tiling.
-                # Even-odd is Z2-consistent for any node-parity-even
-                # boundary, i.e. deterministic and tiling-independent.
-                sides: dict[int, set] = {}
-                for p, s in labels[i]:
-                    sides.setdefault(p, set()).add(s)
-                tog = frozenset(p for p, ss in sides.items() if len(ss) == 1)
+                tog = tog_of[i]
                 if left == cur and right not in cov:
                     cov[right] = cov[left] ^ tog
                     stack.append(right)
@@ -498,7 +507,9 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
         for h in hole_cycles:
             bsegs.extend(seg_lists.get(h, []))
         cov = cycle_cov.get(cid, frozenset())
-        touches = frozenset(p for i in bsegs for p, _ in labels[i])
+        touches = (
+            frozenset().union(*(pids_of[i] for i in bsegs)) if bsegs else frozenset()
+        )
         faces.append(
             Face(
                 cid, shell, holes, area2, cov, touches, bsegs,
