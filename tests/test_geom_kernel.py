@@ -377,3 +377,71 @@ class TestFinalizeBatchedKernels:
                 assert n == len(r)
                 assert (coords[s : s + n] == r).all()
                 ri += 1
+
+
+class TestBboxScan:
+    """scan_coord_bboxes must agree with a full decode on every geometry
+    type it claims to handle, and skip exactly what the decoder rejects."""
+
+    def _wkbs(self):
+        from rogray.geom import wkb as w
+
+        rng = np.random.default_rng(23)
+        out = []
+        for _ in range(200):
+            kind = rng.integers(0, 4)
+            if kind == 0:  # polygon, 1-3 rings
+                rings = [
+                    rng.uniform(-50, 50, size=(int(rng.integers(3, 9)), 2))
+                    for _ in range(int(rng.integers(1, 4)))
+                ]
+                out.append(w.encode_polygon(rings))
+            elif kind == 1:  # multipolygon
+                polys = [
+                    [rng.uniform(-50, 50, size=(int(rng.integers(3, 7)), 2))]
+                    for _ in range(int(rng.integers(1, 3)))
+                ]
+                out.append(w.encode_multipolygon(polys))
+            elif kind == 2:  # linestring
+                out.append(
+                    w.encode_linestring(rng.uniform(-50, 50, size=(int(rng.integers(2, 8)), 2)))
+                )
+            else:  # point (skipped by both paths)
+                out.append(w.encode_point(float(rng.uniform()), float(rng.uniform())))
+        out.append(None)
+        out.append(b"")
+        out.append(b"\x01\x03\x00\x00")  # truncated header
+        poly = w.encode_polygon([np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0]])])
+        out.append(poly[: len(poly) - 7])  # truncated coords
+        return out
+
+    def test_matches_decode(self):
+        from rogray.geom import wkb as w
+
+        wkbs = self._wkbs()
+        rows, mnx, mny, mxx, mxy = w.scan_coord_bboxes(wkbs)
+        got = dict(zip(rows.tolist(), zip(mnx, mny, mxx, mxy)))
+        for i, wb in enumerate(wkbs):
+            want = None
+            if wb:
+                import struct as _st
+
+                try:
+                    gtype, parts = w.decode(wb)
+                except (w.WkbError, _st.error, ValueError):
+                    gtype, parts = None, None
+                if gtype in (w.POLYGON, w.MULTIPOLYGON):
+                    rings = [r for poly in (parts if gtype == w.MULTIPOLYGON else [parts[0]]) for r in poly]
+                    # decode strips closing vertices; rescan raw coords via
+                    # the ring arrays plus the stripped closers — bbox is
+                    # unchanged by the closing duplicate
+                    pts = np.concatenate(rings)
+                    want = (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
+                elif gtype == w.LINESTRING:
+                    pts = parts[0][0]
+                    want = (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
+            if want is None:
+                assert i not in got, i
+            else:
+                assert i in got, i
+                assert got[i] == want, i
