@@ -338,6 +338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_line_cover_len": lambda sf: __import__(
             "rogray.rectlayer", fromlist=["rect_line_cover_len"]
         ).rect_line_cover_len(sf),
+        "rect_nearest_join": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_nearest_join"]
+        ).rect_nearest_join(sf),
     }
 
 
@@ -462,6 +465,11 @@ def oracle_sql() -> dict[str, str]:
         "rect_line_cover_len": __import__(
             "rogray.rectlayer", fromlist=["rect_line_cover_len_sql"]
         ).rect_line_cover_len_sql(),
+        # nearest-geometry join (grid-file NN search by cell-ring
+        # expansion): nearest rectangle per point, exact integer d2
+        "rect_nearest_join": __import__(
+            "rogray.rectlayer", fromlist=["rect_nearest_join_sql"]
+        ).rect_nearest_join_sql(),
         # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap
         # family and other geometry pipelines (DuckDB has no spatial ext
         # here), text_lang_id (heuristic), ann_ivf_topk (k-means training;

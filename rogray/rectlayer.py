@@ -873,3 +873,65 @@ FROM line l JOIN rect r
  AND LEAST(l.x2, r.x2) > GREATEST(l.x1, r.x1)
 ORDER BY 1, 2
 """
+
+
+def rect_nearest_join(sf_dir: str):
+    """Real nearest_geom_join: each customer point's nearest rectangle by
+    exact boundary distance (0 inside), cell-ring expansion at level 7.
+    Output (point_id, nearest_pk, d2_px); d2 on this integer frame is an
+    exact int64 both here and in the SQL oracle; ties break by rect id."""
+    import ray.data as rd
+
+    from . import spatial_query
+
+    docs = rect_docs(sf_dir)
+    cfg = rect_cfg()
+    plan = rect_plan(docs, cfg)
+
+    def points(t: pa.Table) -> pa.Table:
+        c = t["c_custkey"].to_numpy().astype(np.int64)
+        px, py = point_coords(c)
+        return pa.table(
+            {
+                "point_id": pa.array(c, pa.int64()),
+                "x": pa.array(px.astype(np.float64), pa.float64()),
+                "y": pa.array(py.astype(np.float64), pa.float64()),
+            }
+        )
+
+    pts = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
+        points, batch_format="pyarrow"
+    )
+    res = spatial_query.nearest_geom_join(pts, docs, cfg, plan, level=7)
+
+    def finish(t: pa.Table) -> pa.Table:
+        assert pc.all(t["complete"]).as_py(), "nearest search did not converge"
+        return pa.table(
+            {
+                "point_id": t["point_id"].combine_chunks(),
+                "nearest_pk": t["nearest_pk"].combine_chunks(),
+                "d2_px": t["d2_px"].combine_chunks(),
+            }
+        )
+
+    return res.map_batches(finish, batch_format="pyarrow")
+
+
+def rect_nearest_join_sql() -> str:
+    return f"""
+WITH {_RECT_CTE},
+{_POINT_CTE.strip()}
+SELECT point_id, nearest_pk, d2_px FROM (
+    SELECT p.point_id, r.k AS nearest_pk,
+           POWER(GREATEST(r.x1 - p.px, p.px - r.x2, 0), 2)
+         + POWER(GREATEST(r.y1 - p.py, p.py - r.y2, 0), 2) AS d2_px,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.point_id
+               ORDER BY POWER(GREATEST(r.x1 - p.px, p.px - r.x2, 0), 2)
+                      + POWER(GREATEST(r.y1 - p.py, p.py - r.y2, 0), 2),
+                        r.k
+           ) AS rn
+    FROM pt p CROSS JOIN rect r
+) WHERE rn = 1
+ORDER BY point_id
+"""

@@ -523,3 +523,427 @@ def cell_cover(docs_ds, level: int, cfg: ResolveConfig | None = None,
 
     unwrapped = docs_ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
     return unwrapped.map_batches(cover, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# nearest-geometry join: for each point, the nearest polygon document by
+# exact boundary distance (0 when inside), found by quadkey cell-ring
+# expansion — the grid-file nearest-neighbour search (H3 grid_disk
+# analogue), generalizing knn_points from point targets to polygons.
+#
+# Scale shape: geometry bbox covers at a fixed cell level are materialized
+# once (one row per (cell, pk), bounded by bbox size / cell size); each
+# round every still-searching point emits only its NEW Chebyshev ring of
+# cells, candidates join per cell, exact distances evaluate per pk-bucket
+# with the doc geometry attached reduce-side, and a bucketed argmin folds
+# into the per-point running state.  A point stops once its best distance
+# is <= (r-1) cell widths — every unseen geometry's bbox lies wholly
+# outside the scanned disk, hence strictly farther.  No driver-side
+# materialization of points, covers or candidates at any step.
+# ---------------------------------------------------------------------------
+
+
+def _point_rings_d2(qx: np.ndarray, qy: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Exact squared distance (px^2, float64) of points to a polygon's
+    boundary, 0 when inside (even-odd).  Vectorized (points x segments)."""
+    segs = []
+    for r in rings:
+        if len(r) < 2:
+            continue
+        nxt = np.empty_like(r)
+        nxt[:-1] = r[1:]
+        nxt[-1] = r[0]
+        segs.append(np.concatenate([r, nxt], axis=1))
+    if not segs:
+        return np.full(len(qx), np.inf)
+    s = np.concatenate(segs).astype(np.float64)
+    ax, ay, bx, by = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+    dx, dy = bx - ax, by - ay
+    ln2 = dx * dx + dy * dy
+    ln2[ln2 == 0] = 1.0  # degenerate segments: distance to the point a
+    out = np.empty(len(qx))
+    B = 4096
+    for s0 in range(0, len(qx), B):
+        px = qx[s0 : s0 + B, None].astype(np.float64)
+        py = qy[s0 : s0 + B, None].astype(np.float64)
+        t = ((px - ax) * dx + (py - ay) * dy) / ln2
+        t = np.clip(t, 0.0, 1.0)
+        ddx = px - (ax + t * dx)
+        ddy = py - (ay + t * dy)
+        out[s0 : s0 + B] = (ddx * ddx + ddy * ddy).min(axis=1)
+    # inside -> 0 (even-odd crossings over all rings)
+    for i in range(len(qx)):
+        if out[i] == 0.0:
+            continue
+        crossings = 0
+        for r in rings:
+            crossings += core.point_in_ring_crossings(int(qx[i]), int(qy[i]), r)
+        if crossings % 2 == 1:
+            out[i] = 0.0
+    return out
+
+
+def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None,
+                      plan: ResolvePlan | None = None, level: int = 7,
+                      max_rounds: int = 12, n_buckets: int = 499,
+                      r0_radius: int = 8):
+    """(point_id, x, y) x polygon documents -> one row per point:
+    (point_id, nearest_pk, d2_px, dist, complete).  nearest_pk is NULL and
+    complete False for points that found nothing within max_rounds rings.
+    Ties break by pk ascending (deterministic, matches the SQL oracle)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    cfg = cfg or ResolveConfig()
+    plan = plan or prepare(polys_docs_ds, cfg)
+    grid = plan.grid
+    w = int(grid.span_px) >> level
+    if w <= 0:
+        raise ValueError(f"level {level} finer than the snap grid")
+    n = 1 << level
+
+    unwrapped = polys_docs_ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
+
+    def bbox_cells(t: pa.Table) -> pa.Table:
+        mnx = t["minx"].to_numpy() // w
+        mny = t["miny"].to_numpy() // w
+        mxx = t["maxx"].to_numpy() // w
+        mxy = t["maxy"].to_numpy() // w
+        mnx = np.clip(mnx, 0, n - 1); mny = np.clip(mny, 0, n - 1)
+        mxx = np.clip(mxx, 0, n - 1); mxy = np.clip(mxy, 0, n - 1)
+        nx = (mxx - mnx + 1).astype(np.int64)
+        cnt = nx * (mxy - mny + 1)
+        total = int(cnt.sum())
+        ridx = np.repeat(np.arange(len(cnt)), cnt)
+        k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        nx_r = np.repeat(nx, cnt)
+        cx = np.repeat(mnx, cnt) + k % nx_r
+        cy = np.repeat(mny, cnt) + k // nx_r
+        cells = cx * np.int64(n) + cy
+        return pa.table(
+            {
+                "cb": pa.array(cells % n_buckets, pa.int64()),
+                "cell": pa.array(cells, pa.int64()),
+                "pk": t["pk"].take(pa.array(ridx, pa.int64())),
+                "is_pt": pa.array(np.zeros(total, bool)),
+                "px": pa.array(np.zeros(total, np.int64)),
+                "py": pa.array(np.zeros(total, np.int64)),
+                "point_id": pa.array(np.zeros(total, np.int64)),
+            }
+        )
+
+    covers = unwrapped.map_batches(bbox_cells, batch_format="pyarrow").materialize()
+    # doc geometry, bucketed by pk for the reduce-side distance evaluation
+    def doc_geo(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy()
+        return pa.table(
+            {
+                "gb": pa.array(pk % n_buckets, pa.int64()),
+                "pk": t["pk"].combine_chunks(),
+                "rings": t["rings"].combine_chunks(),
+                "is_doc": pa.array(np.ones(len(t), bool)),
+                "point_id": pa.array(np.zeros(len(t), np.int64)),
+                "px": pa.array(np.zeros(len(t), np.int64)),
+                "py": pa.array(np.zeros(len(t), np.int64)),
+            }
+        )
+
+    geo = unwrapped.map_batches(doc_geo, batch_format="pyarrow").materialize()
+
+    def init_state(t: pa.Table) -> pa.Table:
+        px, py = _snap_points(t, grid)
+        nn = len(t)
+        return pa.table(
+            {
+                "point_id": t["point_id"].cast(pa.int64()).combine_chunks(),
+                "px": pa.array(px, pa.int64()),
+                "py": pa.array(py, pa.int64()),
+                "best_pk": pa.array(np.full(nn, -1, np.int64)),
+                "best_d2": pa.array(np.full(nn, np.inf)),
+                "done": pa.array(np.zeros(nn, bool)),
+            }
+        )
+
+    state = points_ds.map_batches(init_state, batch_format="pyarrow").materialize()
+
+    # geometrically growing annuli: round k scans cells with Chebyshev
+    # radius in (r0*2^(k-1), r0*2^k] (round 0: the full disk of radius
+    # r0).  O(log) rounds to cover the frame — each Ray round costs fixed
+    # shuffle latency, so few fat rounds beat many unit rings.
+    for r in range(max_rounds):
+        R = r0_radius << r
+        R_prev = 0 if r == 0 else (r0_radius << (r - 1))
+
+        def ring_rows(t: pa.Table, _R=R, _Rp=R_prev) -> pa.Table:
+            t = t.filter(pc.invert(t["done"]))
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "cb": pa.array([], pa.int64()),
+                        "cell": pa.array([], pa.int64()),
+                        "pk": pa.array([], pa.int64()),
+                        "is_pt": pa.array([], pa.bool_()),
+                        "px": pa.array([], pa.int64()),
+                        "py": pa.array([], pa.int64()),
+                        "point_id": pa.array([], pa.int64()),
+                    }
+                )
+            px = t["px"].to_numpy(); py = t["py"].to_numpy()
+            hx = np.clip(px // w, 0, n - 1); hy = np.clip(py // w, 0, n - 1)
+            side = np.arange(-_R, _R + 1, dtype=np.int64)
+            ox, oy = np.meshgrid(side, side, indexing="ij")
+            cheb = np.maximum(np.abs(ox), np.abs(oy)).ravel()
+            keep = cheb > _Rp if _Rp else np.ones(len(cheb), bool)
+            offs = np.stack([ox.ravel()[keep], oy.ravel()[keep]], 1)
+            m = len(offs)
+            cx = hx[:, None] + offs[None, :, 0]
+            cy = hy[:, None] + offs[None, :, 1]
+            ok = (cx >= 0) & (cx < n) & (cy >= 0) & (cy < n)
+            pi, oi = np.nonzero(ok)
+            cells = cx[pi, oi] * np.int64(n) + cy[pi, oi]
+            return pa.table(
+                {
+                    "cb": pa.array(cells % n_buckets, pa.int64()),
+                    "cell": pa.array(cells, pa.int64()),
+                    "pk": pa.array(np.zeros(len(pi), np.int64)),
+                    "is_pt": pa.array(np.ones(len(pi), bool)),
+                    "px": pa.array(px[pi], pa.int64()),
+                    "py": pa.array(py[pi], pa.int64()),
+                    "point_id": pa.array(t["point_id"].to_numpy()[pi], pa.int64()),
+                }
+            )
+
+        ring_rows.__name__ = f"ring_rows_R{R}"
+
+        def cell_join(g: pa.Table) -> pa.Table:
+            """Per CELL-BUCKET: match point rows to doc-cover rows on the
+            exact cell id via sort + searchsorted (one Ray group handles
+            thousands of cells — per-cell groups would schedule a Python
+            UDF call per cell)."""
+            is_pt = g["is_pt"].to_numpy(zero_copy_only=False)
+            npt = int(is_pt.sum())
+            ndoc = len(g) - npt
+            if npt == 0 or ndoc == 0:
+                return pa.table(
+                    {
+                        "gb": pa.array([], pa.int64()),
+                        "pk": pa.array([], pa.int64()),
+                        "is_doc": pa.array([], pa.bool_()),
+                        "rings": pa.array([], pa.large_binary()),
+                        "point_id": pa.array([], pa.int64()),
+                        "px": pa.array([], pa.int64()),
+                        "py": pa.array([], pa.int64()),
+                    }
+                )
+            pts = g.filter(pa.array(is_pt))
+            docs = g.filter(pa.array(~is_pt))
+            dc = docs["cell"].to_numpy()
+            o = np.argsort(dc, kind="stable")
+            dc_s = dc[o]
+            pk_s = docs["pk"].to_numpy()[o]
+            pc_ = pts["cell"].to_numpy()
+            left = np.searchsorted(dc_s, pc_, side="left")
+            right = np.searchsorted(dc_s, pc_, side="right")
+            cnt = right - left
+            total = int(cnt.sum())
+            if total == 0:
+                return pa.table(
+                    {
+                        "gb": pa.array([], pa.int64()),
+                        "pk": pa.array([], pa.int64()),
+                        "is_doc": pa.array([], pa.bool_()),
+                        "rings": pa.array([], pa.large_binary()),
+                        "point_id": pa.array([], pa.int64()),
+                        "px": pa.array([], pa.int64()),
+                        "py": pa.array([], pa.int64()),
+                    }
+                )
+            pi = np.repeat(np.arange(len(pc_)), cnt)
+            pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                + np.repeat(left, cnt)
+            )
+            pkj = pk_s[pos]
+            return pa.table(
+                {
+                    "gb": pa.array(pkj % n_buckets, pa.int64()),
+                    "pk": pa.array(pkj, pa.int64()),
+                    "is_doc": pa.array(np.zeros(total, bool)),
+                    "rings": pa.array([None] * total, pa.large_binary()),
+                    "point_id": pa.array(pts["point_id"].to_numpy()[pi], pa.int64()),
+                    "px": pa.array(pts["px"].to_numpy()[pi], pa.int64()),
+                    "py": pa.array(pts["py"].to_numpy()[pi], pa.int64()),
+                }
+            )
+
+        cand = (
+            state.map_batches(ring_rows, batch_format="pyarrow")
+            .union(covers)
+            .groupby("cb")
+            .map_groups(cell_join, batch_format="pyarrow")
+        )
+
+        def eval_dist(g: pa.Table) -> pa.Table:
+            is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
+            cand_rows = g.filter(pa.array(~is_doc))
+            if len(cand_rows) == 0:
+                return pa.table(
+                    {
+                        "sb": pa.array([], pa.int64()),
+                        "point_id": pa.array([], pa.int64()),
+                        "pk": pa.array([], pa.int64()),
+                        "d2": pa.array([], pa.float64()),
+                    }
+                )
+            docs = g.filter(pa.array(is_doc))
+            rings_by_pk = {
+                int(p): stages.unpack_rings(b)[0]
+                for p, b in zip(docs["pk"].to_numpy(), docs["rings"].to_pylist())
+            }
+            pkc = cand_rows["pk"].to_numpy()
+            qx = cand_rows["px"].to_numpy()
+            qy = cand_rows["py"].to_numpy()
+            pid = cand_rows["point_id"].to_numpy()
+            d2 = np.full(len(pkc), np.inf)
+            for p in np.unique(pkc):
+                rings = rings_by_pk.get(int(p))
+                if rings is None:
+                    continue
+                m = pkc == p
+                d2[m] = _point_rings_d2(qx[m], qy[m], rings)
+            keep = np.isfinite(d2)
+            return pa.table(
+                {
+                    "sb": pa.array(pid[keep] % n_buckets, pa.int64()),
+                    "point_id": pa.array(pid[keep], pa.int64()),
+                    "pk": pa.array(pkc[keep], pa.int64()),
+                    "d2": pa.array(d2[keep], pa.float64()),
+                }
+            )
+
+        mins = (
+            cand.union(geo).groupby("gb").map_groups(eval_dist, batch_format="pyarrow")
+        )
+
+        def state_rows(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "sb": pa.array(t["point_id"].to_numpy() % n_buckets, pa.int64()),
+                    "point_id": t["point_id"].combine_chunks(),
+                    "pk": t["best_pk"].combine_chunks(),
+                    "d2": t["best_d2"].combine_chunks(),
+                    "px": t["px"].combine_chunks(),
+                    "py": t["py"].combine_chunks(),
+                    "done": t["done"].combine_chunks(),
+                    "is_state": pa.array(np.ones(len(t), bool)),
+                }
+            )
+
+        def cand_rows2(t: pa.Table) -> pa.Table:
+            nn = len(t)
+            return pa.table(
+                {
+                    "sb": t["sb"].combine_chunks(),
+                    "point_id": t["point_id"].combine_chunks(),
+                    "pk": t["pk"].combine_chunks(),
+                    "d2": t["d2"].combine_chunks(),
+                    "px": pa.array(np.zeros(nn, np.int64)),
+                    "py": pa.array(np.zeros(nn, np.int64)),
+                    "done": pa.array(np.zeros(nn, bool)),
+                    "is_state": pa.array(np.zeros(nn, bool)),
+                }
+            )
+
+        def fold(g: pa.Table, _R=R) -> pa.Table:
+            is_state = g["is_state"].to_numpy(zero_copy_only=False)
+            st = g.filter(pa.array(is_state))
+            nw = g.filter(pa.array(~is_state))
+            pid_s = st["point_id"].to_numpy()
+            best_pk = st["pk"].to_numpy().copy()
+            best_d2 = st["d2"].to_numpy().copy()
+            done = st["done"].to_numpy(zero_copy_only=False).copy()
+            if len(nw):
+                # candidate argmin per point: sort by (pid, d2, pk), first wins
+                pid_n = nw["point_id"].to_numpy()
+                pk_n = nw["pk"].to_numpy()
+                d2_n = nw["d2"].to_numpy()
+                o = np.lexsort((pk_n, d2_n, pid_n))
+                pid_n, pk_n, d2_n = pid_n[o], pk_n[o], d2_n[o]
+                first = np.r_[True, pid_n[1:] != pid_n[:-1]]
+                pid_f, pk_f, d2_f = pid_n[first], pk_n[first], d2_n[first]
+                pos = np.searchsorted(pid_s, pid_f)  # states sorted? ensure below
+                # states are not sorted: sort both sides
+                so = np.argsort(pid_s, kind="stable")
+                pid_ss = pid_s[so]
+                pos = np.searchsorted(pid_ss, pid_f)
+                valid = (pos < len(pid_ss)) & (pid_ss[np.minimum(pos, len(pid_ss)-1)] == pid_f)
+                tgt = so[pos[valid]]
+                upd = (d2_f[valid] < best_d2[tgt]) | (
+                    (d2_f[valid] == best_d2[tgt]) & (pk_f[valid] < best_pk[tgt])
+                )
+                ti = tgt[upd]
+                best_d2[ti] = d2_f[valid][upd]
+                best_pk[ti] = pk_f[valid][upd]
+            # termination: every unseen geometry's bbox lies outside the
+            # scanned Chebyshev disk of radius R -> distance >= R*w >
+            # (R-1)*w >= best (strict, so bound-ties cannot flip the pick)
+            bound = float((_R - 1) * w)
+            if bound >= 0:
+                done |= np.sqrt(best_d2) <= bound
+            return pa.table(
+                {
+                    "point_id": st["point_id"].combine_chunks(),
+                    "px": st["px"].combine_chunks(),
+                    "py": st["py"].combine_chunks(),
+                    "best_pk": pa.array(best_pk, pa.int64()),
+                    "best_d2": pa.array(best_d2, pa.float64()),
+                    "done": pa.array(done, pa.bool_()),
+                }
+            )
+
+        fold.__name__ = f"fold_R{R}"
+        import ray as _ray
+
+        # coalesce: the per-round union+sort would otherwise multiply block
+        # counts round over round (sort reduce partitions track input block
+        # count), the same tiny-block explosion the dissolve loop hit
+        n_blocks = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+        state = (
+            state.map_batches(state_rows, batch_format="pyarrow")
+            .union(mins.map_batches(cand_rows2, batch_format="pyarrow"))
+            .groupby("sb")
+            .map_groups(fold, batch_format="pyarrow")
+            .repartition(n_blocks)
+            .materialize()
+        )
+        remaining = state.map_batches(
+            lambda t: pa.table({"n": pa.array([int((~t["done"].to_numpy(zero_copy_only=False)).sum())], pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("n")
+        if not remaining:
+            break
+
+    def finish(t: pa.Table) -> pa.Table:
+        best_pk = t["best_pk"].to_numpy()
+        best_d2 = t["best_d2"].to_numpy()
+        has = best_pk >= 0
+        return pa.table(
+            {
+                "point_id": t["point_id"].combine_chunks(),
+                "nearest_pk": pa.array(
+                    [int(p) if h else None for p, h in zip(best_pk, has)], pa.int64()
+                ),
+                "d2_px": pa.array(
+                    [int(round(d)) if h else None for d, h in zip(best_d2, has)],
+                    pa.int64(),
+                ),
+                "dist": pa.array(
+                    [float(np.sqrt(d)) * grid.precision if h else None for d, h in zip(best_d2, has)],
+                    pa.float64(),
+                ),
+                "complete": t["done"].combine_chunks(),
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow")

@@ -309,3 +309,13 @@ class TestDanglingLineEdges:
         inside = line_rows[line_rows.left_cov.map(lambda c: 1 in list(c))]
         assert len(inside) >= 1  # the dangling piece carries the polygon pk
         assert (inside.left_cov.map(tuple) == inside.right_cov.map(tuple)).all()
+
+
+class TestNearestJoinOracle:
+    def test_nearest_join_exact(self, ray_session):
+        got = _assert_exact(
+            rectlayer.rect_nearest_join(SF), rectlayer.rect_nearest_join_sql()
+        )
+        assert len(got) > 0
+        # points inside a rectangle have distance exactly 0
+        assert (got["d2_px"] >= 0).all()
