@@ -590,7 +590,15 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
     """(point_id, x, y) x polygon documents -> one row per point:
     (point_id, nearest_pk, d2_px, dist, complete).  nearest_pk is NULL and
     complete False for points that found nothing within max_rounds rings.
-    Ties break by pk ascending (deterministic, matches the SQL oracle)."""
+    Ties break by pk ascending (deterministic, matches the SQL oracle).
+
+    Known scale limits (documented, not silent): the bbox cover table is
+    O(docs x bbox-cells-at-`level`) — geometries spanning a large fraction
+    of the frame need a coarser `level` (or the Route-style giant-clip
+    treatment) to keep it bounded; and the doc-geometry side re-enters the
+    per-round pk-bucket shuffle once per annulus round (O(log max_dist)
+    rounds) — a broadcast-gated attach like the finalize join would ship
+    it once when it fits in the object store."""
     import pyarrow.compute as pc
     import ray.data as rd
 
