@@ -178,15 +178,19 @@ def run_scaling(pairs: int = 3) -> None:
             }
         )
     med = statistics.median(r["scaling_efficiency"] for r in runs)
-    best = max(runs, key=lambda r: r["scaling_efficiency"])
+    # report times/throughput from the MEDIAN pair, matching the selection
+    # criterion of the reported efficiency (the best pair's times next to
+    # the median efficiency would overstate throughput); raw pairs ride
+    # along for anyone who wants a different cut
+    med_pair = min(runs, key=lambda r: abs(r["scaling_efficiency"] - med))
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency_8_to_32",
-                "sec_8cpu": best["sec_8cpu"],
-                "sec_32cpu": best["sec_32cpu"],
-                "throughput_8cpu_polys_per_sec": best["throughput_8cpu_polys_per_sec"],
-                "throughput_32cpu_polys_per_sec": best["throughput_32cpu_polys_per_sec"],
+                "sec_8cpu": med_pair["sec_8cpu"],
+                "sec_32cpu": med_pair["sec_32cpu"],
+                "throughput_8cpu_polys_per_sec": med_pair["throughput_8cpu_polys_per_sec"],
+                "throughput_32cpu_polys_per_sec": med_pair["throughput_32cpu_polys_per_sec"],
                 "scaling_efficiency": med,
                 "pairs": runs,
             }

@@ -666,8 +666,14 @@ def _gram_hashes(text: str, n: int = 3) -> np.ndarray:
 _BCAST_BLOB_LIMIT = 256 << 20
 _BCAST_BLOB_CACHE: dict = {}
 
+# hot-gram document-frequency sample size for the AllPairs prefix filter
+# (module-level so tests can shrink it to exercise the random-sample path)
+_FREQ_SAMPLE = 20000
 
-def _attach_pair_blobs_broadcast(cand, blob_ds, id_type, blob_col: str):
+
+def _slim_blobs(blob_ds, blob_col: str):
+    """Materialized (k, blob) broadcast payload for the blob side."""
+
     def slim(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -676,7 +682,10 @@ def _attach_pair_blobs_broadcast(cand, blob_ds, id_type, blob_col: str):
             }
         )
 
-    mat = blob_ds.map_batches(slim, batch_format="pyarrow").materialize()
+    return blob_ds.map_batches(slim, batch_format="pyarrow").materialize()
+
+
+def _attach_pair_blobs_broadcast(cand, mat, id_type, blob_col: str):
     refs = list(mat.to_arrow_refs())
     cache_key = tuple(r.hex() for r in refs)
     res_schema = pa.schema(
@@ -695,7 +704,11 @@ def _attach_pair_blobs_broadcast(cand, blob_ds, id_type, blob_col: str):
                 ks = p["k"].to_pylist()
                 bs = p["blob"].to_pylist()
                 d.update(zip(ks, bs))
-            _BCAST_BLOB_CACHE.clear()  # at most one payload per worker
+            # bounded 2-entry FIFO: two interleaved attach stages (e.g.
+            # grams + text blobs) in one worker must not evict each other
+            # every batch — that rebuild is a ~256 MB-per-batch cliff
+            while len(_BCAST_BLOB_CACHE) >= 2:
+                _BCAST_BLOB_CACHE.pop(next(iter(_BCAST_BLOB_CACHE)))
             _BCAST_BLOB_CACHE[cache_key] = d
         ka = t["id_a"].cast(pa.string()).to_pylist()
         kb = t["id_b"].cast(pa.string()).to_pylist()
@@ -730,13 +743,18 @@ def _attach_pair_blobs(cand, blob_ds, id_type, blob_col: str = "grams",
     doc.  cand: (id_a, id_b); blob_ds: (doc_id, <blob_col>).  Returns
     (id_a, id_b, blob_a, blob_b)."""
     # both call sites pass MATERIALIZED blob tables, so size_bytes() is a
-    # free metadata lookup (a lazy ds would execute here — don't pass one)
+    # free metadata lookup (a lazy ds would execute here — don't pass one).
+    # Two-stage gate: the table's bytes only pre-screen; the binding gate
+    # is the slim (k, blob) payload each worker actually holds.
     try:
         blob_bytes = blob_ds.size_bytes() or 0
     except Exception:
         blob_bytes = _BCAST_BLOB_LIMIT + 1
-    if blob_bytes <= _BCAST_BLOB_LIMIT:
-        return _attach_pair_blobs_broadcast(cand, blob_ds, id_type, blob_col)
+    if blob_bytes <= 2 * _BCAST_BLOB_LIMIT:
+        mat = _slim_blobs(blob_ds, blob_col)
+        if (mat.size_bytes() or 0) <= _BCAST_BLOB_LIMIT:
+            return _attach_pair_blobs_broadcast(cand, mat, id_type, blob_col)
+        # slim payload over the limit: fall through to the shuffle join
 
     def bucket_of_str(vals: list[str]) -> pa.Array:
         return pa.array(
@@ -907,14 +925,27 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
     # (document-frequent) grams LAST keeps them out of prefixes, so the
     # candidate groups stay small (the AllPairs df-ordering, approximated
     # with a sampled frequency table broadcast to all tasks — the same
-    # sample-then-broadcast pattern as the tiling histogram)
+    # sample-then-broadcast pattern as the tiling histogram).  The sample
+    # is a seeded RANDOM one, not head-of-dataset: on a sorted/clustered
+    # corpus the first rows misestimate document frequency and candidate
+    # groups blow up (same defect class fixed in similarity.ivf_topk).
     import collections
 
     import ray as _ray
 
+    n_total = grams_ds.count()
+    if n_total <= _FREQ_SAMPLE:
+        sample_rows = grams_ds.take_all()
+    else:
+        frac = min(1.0, 1.5 * _FREQ_SAMPLE / n_total)
+        sample_rows = (
+            grams_ds.random_sample(frac, seed=11).limit(_FREQ_SAMPLE).take_all()
+        )
+        if not sample_rows:  # pathological sampling miss: fall back
+            sample_rows = grams_ds.limit(_FREQ_SAMPLE).take_all()
     freq: collections.Counter = collections.Counter()
     n_sampled = 0
-    for row in grams_ds.limit(20000).take_all():
+    for row in sample_rows:
         n_sampled += 1
         freq.update(np.frombuffer(row["grams"], dtype=np.int64).tolist())
     hot_cut = max(8, int(0.01 * max(1, n_sampled)))

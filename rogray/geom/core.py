@@ -362,23 +362,11 @@ def ring_signed_area2_batch(rings: list[np.ndarray]) -> np.ndarray:
     if not rings:
         return np.empty(0, np.int64)
     coords, offs, lens = _concat_rings(rings)
-    x = coords[:, 0] - np.repeat(coords[offs, 0], lens)
-    y = coords[:, 1] - np.repeat(coords[offs, 1], lens)
-    # open-ring cross terms; the entry at each ring's last position crosses
-    # into the next ring — zero it so reduceat(offs) sums ring-local terms
-    terms = np.zeros(len(x), np.int64)
-    if len(x) > 1:
-        terms[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
-    ends = offs + lens - 1
-    terms[ends] = 0
-    sums = np.add.reduceat(terms, offs)
-    sums[lens < 3] = 0
-    # exactness guard: |prefix sums| <= n * max|term| must stay below 2^62
-    mags = np.maximum.reduceat(np.abs(terms), offs)
-    unsafe = np.flatnonzero(mags * np.maximum(lens, 1) >= (1 << 62))
-    for t in unsafe:
-        sums[t] = ring_signed_area2(rings[t])
-    return sums
+    # delegate to the concat-layout routine: it clamps offsets and masks
+    # by lens, so zero-length rings anywhere in the batch are safe (a
+    # trailing empty ring would otherwise index coords[len(coords)], and
+    # an interior one would zero a term inside the PREVIOUS ring)
+    return _signed_area2_from_concat(coords, offs, lens)
 
 
 def rings_are_simple_batch(rings: list[np.ndarray]) -> np.ndarray:
@@ -407,9 +395,11 @@ def rings_are_simple_batch(rings: list[np.ndarray]) -> np.ndarray:
     jj = np.concatenate(jj_parts)
     rid = np.concatenate(rid_parts)
     ax, ay = coords[:, 0], coords[:, 1]
-    # next vertex within the ring (cyclic)
+    # next vertex within the ring (cyclic); mask zero-length rings — their
+    # offs+lens-1 would write into the PREVIOUS ring's wrap slot
     nxt = np.arange(len(coords), dtype=np.int64) + 1
-    nxt[offs + lens - 1] = offs
+    nz = lens > 0
+    nxt[(offs + lens)[nz] - 1] = offs[nz]
     bx, by = ax[nxt], ay[nxt]
     p1x, p1y, p2x, p2y = ax[ii], ay[ii], bx[ii], by[ii]
     q1x, q1y, q2x, q2y = ax[jj], ay[jj], bx[jj], by[jj]

@@ -305,8 +305,15 @@ def _finalize_join(stitched, ds, grid, utm):
         doc_bytes = ds.size_bytes() or 0
     except Exception:
         doc_bytes = _BCAST_JOIN_LIMIT + 1
+    # two-stage gate: the cheap metadata size (compressed parquet bytes)
+    # only pre-screens; the binding gate is the DECODED slim payload's
+    # size_bytes() — parquet compresses text ~3-5x, so gating on disk
+    # bytes alone can ship a multiple of the limit into every worker heap
     if doc_bytes <= _BCAST_JOIN_LIMIT:
-        return _finalize_join_broadcast(stitched, ds, grid, utm)
+        slim = _docs_slim_sorted(ds)
+        if (slim.size_bytes() or 0) <= _BCAST_JOIN_LIMIT:
+            return _finalize_join_broadcast(stitched, slim, grid, utm)
+        # decoded payload over the limit: fall through to the shuffle join
 
     def docs_min(t: pa.Table) -> pa.Table:
         from ..ids import stable_pk
@@ -403,11 +410,10 @@ def _finalize_join(stitched, ds, grid, utm):
 _BCAST_CACHE: dict = {}
 
 
-def _finalize_join_broadcast(stitched, ds, grid, utm):
-    """Broadcast-side finalize join: the slim doc payload is materialized
-    to Arrow blocks in the object store by workers (never the driver) and
-    every attach task reads it zero-copy.  The face stream stays put — no
-    union, no sort shuffle, no extra all-to-all."""
+def _docs_slim_sorted(ds):
+    """Materialized (jk, doc_id, spans-json) broadcast payload, sorted by
+    jk ONCE so every attach worker skips its own argsort+take of the whole
+    payload (at the 256 MB gate that is real per-worker work)."""
 
     def docs_slim(t: pa.Table) -> pa.Table:
         from ..ids import stable_pk
@@ -424,10 +430,14 @@ def _finalize_join_broadcast(stitched, ds, grid, utm):
             }
         )
 
-    # sort ONCE here so every attach worker skips its own argsort+take of
-    # the whole payload (at the 256 MB gate that is real per-worker work);
-    # block order out of sort is the dataset order, verified cheaply below
-    slim = ds.map_batches(docs_slim, batch_format="pyarrow").sort("jk").materialize()
+    return ds.map_batches(docs_slim, batch_format="pyarrow").sort("jk").materialize()
+
+
+def _finalize_join_broadcast(stitched, slim, grid, utm):
+    """Broadcast-side finalize join: the slim doc payload (materialized to
+    Arrow blocks in the object store by workers, never the driver) is read
+    zero-copy by every attach task.  The face stream stays put — no union,
+    no sort shuffle, no extra all-to-all."""
     refs = [r for r in slim.to_arrow_refs()]
     cache_key = tuple(r.hex() for r in refs)
 
@@ -455,7 +465,11 @@ def _finalize_join_broadcast(stitched, ds, grid, utm):
                     )
             else:
                 got = (np.empty(0, np.int64), pa.array([], pa.string()), pa.array([], pa.string()))
-            _BCAST_CACHE.clear()  # at most one payload per worker
+            # bounded 2-entry FIFO (not clear-then-insert): two broadcast
+            # joins interleaving batches in one worker process must not
+            # evict each other's payload on every batch
+            while len(_BCAST_CACHE) >= 2:
+                _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
             _BCAST_CACHE[cache_key] = got
         jk_s, doc_arr, span_arr = got
         n = len(t)
@@ -628,13 +642,15 @@ def _compress_remap(rm: dict) -> None:
 
 
 def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
-                         rounds: int = 100, n_buckets: int = 499):
+                         rounds: int = 100, n_buckets: int | None = None,
+                         max_driver_targets: int = 5_000_000):
     import hashlib
 
     import pandas as pd
     import ray as _ray
 
     from .. import stages as st_mod
+    from ..dedup import _n_buckets_for
     from ..geom import core, noding, polygonize
 
     if min_area <= 0:
@@ -658,6 +674,10 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
         )
 
     base = stitched.map_batches(add_uid, batch_format="pyarrow").materialize()
+    if n_buckets is None:
+        # scale shuffle-group count with the face count (a fixed count
+        # would mean giant segment groups at 100 TB)
+        n_buckets = _n_buckets_for(max(1, base.count()) * 16)
 
     # ---- pass 1: adjacency edges, built once -----------------------------
     def seg_rows(t: pa.Table) -> pa.Table:
@@ -956,12 +976,30 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
                 "seg_len": pa.array(out_ln, pa.float64()),
             })
 
-        targets = (
+        targets_ds = (
             edges.map_batches(relabel, batch_format="pyarrow")
             .groupby("tb")
             .map_groups(choose_targets, batch_format="pandas")
-            .to_pandas()  # one row per surviving small face (bounded)
+            .materialize()
         )
+        # ENFORCED driver-pull bound (one row per surviving small face is
+        # output-sized on an adversarial everything-is-small layer): over
+        # the cap, merge only the deterministically-first cap targets this
+        # round and let the fixpoint loop absorb the rest next rounds.
+        n_targets = targets_ds.count()
+        if n_targets > max_driver_targets:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dissolve_small_faces: %d merge targets exceed the %d "
+                "driver cap; chunking across rounds",
+                n_targets, max_driver_targets,
+            )
+            targets = (
+                targets_ds.sort("small_uid").limit(max_driver_targets).to_pandas()
+            )
+        else:
+            targets = targets_ds.to_pandas()
         if len(targets) == 0:
             break
         tmap = dict(zip(targets["small_uid"], targets["target_uid"]))

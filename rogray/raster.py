@@ -351,13 +351,25 @@ def _merge_runs_bucket(g: pa.Table) -> pa.Table:
     )
 
 
-def rasterize_faces(faces_ds, grid, zone_col: str = "winner_pk", n_buckets: int = 199):
+def rasterize_faces(faces_ds, grid, zone_col: str = "winner_pk", n_buckets: int | None = None):
     """Resolved-face Dataset -> merged mosaic pixel runs (zone, cy, x0, x1).
 
     One batched scanline pass per block, ONE shuffle keyed by a hash bucket
     of (zone, cy) — the only co-location the island merge needs — then a
     vectorized merge per bucket.  Runs stay RLE end to end; nothing
-    enumerates pixels."""
+    enumerates pixels.
+
+    n_buckets defaults to _n_buckets_for(face count) so shuffle-group count
+    scales with the input (a fixed count means giant merge groups at 100 TB).
+    Sizing needs the face count, so the default path materializes faces_ds
+    once — the faces feed the shuffle anyway; pass n_buckets explicitly to
+    keep a purely streaming plan."""
+    from .dedup import _n_buckets_for
+
+    if n_buckets is None:
+        faces_ds = faces_ds.materialize()
+        # ~8 (zone, cy) scanline keys per face is a safe overestimate
+        n_buckets = _n_buckets_for(faces_ds.count() * 8)
     runs = faces_ds.map_batches(
         _FacesToRuns(grid, zone_col, n_buckets), batch_format="pyarrow"
     )

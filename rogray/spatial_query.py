@@ -531,21 +531,62 @@ def cell_cover(docs_ds, level: int, cfg: ResolveConfig | None = None,
 # expansion — the grid-file nearest-neighbour search (H3 grid_disk
 # analogue), generalizing knn_points from point targets to polygons.
 #
-# Scale shape: geometry bbox covers at a fixed cell level are materialized
-# once (one row per (cell, pk), bounded by bbox size / cell size); each
-# round every still-searching point emits only its NEW Chebyshev ring of
-# cells, candidates join per cell, exact distances evaluate per pk-bucket
-# with the doc geometry attached reduce-side, and a bucketed argmin folds
-# into the per-point running state.  A point stops once its best distance
-# is <= (r-1) cell widths — every unseen geometry's bbox lies wholly
-# outside the scanned disk, hence strictly farther.  No driver-side
-# materialization of points, covers or candidates at any step.
+# Scale shape (round-4 rework; the round-3 version re-shuffled the full
+# geometry table once per annulus round):
+#   * geometry bbox covers at a fixed cell level are materialized ONCE;
+#     giant bboxes (> giant_cells cells) never enter the cover table —
+#     they join the bounded always-candidate list instead (the Route-style
+#     giant treatment), so the cover table is O(docs x min(bbox cells,
+#     giant_cells)), never output-sized.
+#   * both the cover table and the slim (pk, rings) geometry table are
+#     broadcast through the object store when they fit under
+#     _NEAREST_BCAST_LIMIT (the finalize-join hybrid rule): each worker
+#     fetches them zero-copy once, and the per-round dataflow touches ONLY
+#     point-sized rows — ring cells, candidate pairs and the state fold.
+#   * above the limit, candidates fall back to a per-round cell-bucket
+#     shuffle of the (int-only) cover rows, and distances to a pk-bucket
+#     shuffle where the geometry side is pre-filtered to the round's
+#     candidate pk set (collected with a hard cap) — per-round shuffled
+#     geometry bytes scale with the ACTIVE candidates, not the layer.
+#   * shuffle-group counts scale with the input (_n_buckets_for), and the
+#     annulus radius is clamped to the frame: once the scanned disk covers
+#     every cell the search is conclusively done (points with no geometry
+#     anywhere finish `complete` with a NULL nearest_pk).
 # ---------------------------------------------------------------------------
+
+_NEAREST_BCAST_LIMIT = 256 << 20
+_NEAREST_CACHE: dict = {}
+
+
+def _bcast_fetch(mat, build):
+    """Worker-side cached fetch of a materialized broadcast dataset.
+
+    Returns a zero-arg fetch() resolving the payload in the calling worker
+    process, building it at most once per worker (bounded 2-entry FIFO
+    cache — two interleaved broadcast stages must not evict each other
+    per batch)."""
+    refs = list(mat.to_arrow_refs())
+    cache_key = tuple(r.hex() for r in refs)
+
+    def fetch():
+        import ray
+
+        got = _NEAREST_CACHE.get(cache_key)
+        if got is None:
+            parts = [p for p in ray.get(list(refs)) if len(p)]
+            got = build(parts)
+            while len(_NEAREST_CACHE) >= 2:
+                _NEAREST_CACHE.pop(next(iter(_NEAREST_CACHE)))
+            _NEAREST_CACHE[cache_key] = got
+        return got
+
+    return fetch
 
 
 def _point_rings_d2(qx: np.ndarray, qy: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
     """Exact squared distance (px^2, float64) of points to a polygon's
-    boundary, 0 when inside (even-odd).  Vectorized (points x segments)."""
+    boundary, 0 when inside (even-odd).  Fully vectorized (points x
+    segments), including the inside test — no per-point Python loop."""
     segs = []
     for r in rings:
         if len(r) < 2:
@@ -556,12 +597,15 @@ def _point_rings_d2(qx: np.ndarray, qy: np.ndarray, rings: list[np.ndarray]) -> 
         segs.append(np.concatenate([r, nxt], axis=1))
     if not segs:
         return np.full(len(qx), np.inf)
-    s = np.concatenate(segs).astype(np.float64)
+    si = np.concatenate(segs).astype(np.int64)  # exact crossing arithmetic
+    s = si.astype(np.float64)
     ax, ay, bx, by = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+    iax, iay, ibx, iby = si[:, 0], si[:, 1], si[:, 2], si[:, 3]
     dx, dy = bx - ax, by - ay
     ln2 = dx * dx + dy * dy
     ln2[ln2 == 0] = 1.0  # degenerate segments: distance to the point a
     out = np.empty(len(qx))
+    inside = np.zeros(len(qx), bool)
     B = 4096
     for s0 in range(0, len(qx), B):
         px = qx[s0 : s0 + B, None].astype(np.float64)
@@ -571,36 +615,80 @@ def _point_rings_d2(qx: np.ndarray, qy: np.ndarray, rings: list[np.ndarray]) -> 
         ddx = px - (ax + t * dx)
         ddy = py - (ay + t * dy)
         out[s0 : s0 + B] = (ddx * ddx + ddy * ddy).min(axis=1)
-    # inside -> 0 (even-odd crossings over all rings)
-    for i in range(len(qx)):
-        if out[i] == 0.0:
-            continue
-        crossings = 0
-        for r in rings:
-            crossings += core.point_in_ring_crossings(int(qx[i]), int(qy[i]), r)
-        if crossings % 2 == 1:
-            out[i] = 0.0
+        # even-odd crossings, exact int64, all rings in one pass (counts
+        # are additive across rings); half-open-x rule as in core.
+        # Boundary points already have out == 0, so a garbage parity for
+        # them is harmless (0 stays 0).
+        iqx = qx[s0 : s0 + B, None].astype(np.int64)
+        iqy = qy[s0 : s0 + B, None].astype(np.int64)
+        straddle = ((iax <= iqx) & (iqx < ibx)) | ((ibx <= iqx) & (iqx < iax))
+        num = (iqx - iax) * (iby - iay) + (iay - iqy) * (ibx - iax)
+        above = np.where(ibx > iax, num > 0, num < 0) & straddle
+        inside[s0 : s0 + B] = (above.sum(axis=1) % 2).astype(bool)
+    out[inside] = 0.0
     return out
+
+
+# shared union schemas — the per-round unions rely on EXACT field order
+# (Arrow unifies by name today, but pinning the schema removes the
+# version-fragility)
+_NJ_PAIR_SCHEMA = pa.schema(
+    [("point_id", pa.int64()), ("px", pa.int64()), ("py", pa.int64()),
+     ("pk", pa.int64())]
+)
+_NJ_CELL_SCHEMA = pa.schema(
+    [("cb", pa.int64()), ("cell", pa.int64()), ("pk", pa.int64()),
+     ("is_pt", pa.bool_()), ("px", pa.int64()), ("py", pa.int64()),
+     ("point_id", pa.int64())]
+)
+_NJ_EVAL_SCHEMA = pa.schema(
+    [("gb", pa.int64()), ("pk", pa.int64()), ("is_doc", pa.bool_()),
+     ("rings", pa.large_binary()), ("point_id", pa.int64()),
+     ("px", pa.int64()), ("py", pa.int64())]
+)
+_NJ_MIN_SCHEMA = pa.schema(
+    [("sb", pa.int64()), ("point_id", pa.int64()), ("pk", pa.int64()),
+     ("d2", pa.float64())]
+)
+_NJ_FOLD_SCHEMA = pa.schema(
+    [("sb", pa.int64()), ("point_id", pa.int64()), ("pk", pa.int64()),
+     ("d2", pa.float64()), ("px", pa.int64()), ("py", pa.int64()),
+     ("done", pa.bool_()), ("is_state", pa.bool_())]
+)
+_NJ_STATE_SCHEMA = pa.schema(
+    [("point_id", pa.int64()), ("px", pa.int64()), ("py", pa.int64()),
+     ("best_pk", pa.int64()), ("best_d2", pa.float64()),
+     ("done", pa.bool_())]
+)
+
+
+def _nj_empty(schema: pa.Schema) -> pa.Table:
+    return pa.table(
+        {f.name: pa.array([], f.type) for f in schema}, schema=schema
+    )
 
 
 def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None,
                       plan: ResolvePlan | None = None, level: int = 7,
-                      max_rounds: int = 12, n_buckets: int = 499,
-                      r0_radius: int = 8):
+                      max_rounds: int = 12, n_buckets: int | None = None,
+                      r0_radius: int = 8, giant_cells: int = 4096,
+                      max_giants: int = 4096,
+                      bcast_limit: int = _NEAREST_BCAST_LIMIT):
     """(point_id, x, y) x polygon documents -> one row per point:
-    (point_id, nearest_pk, d2_px, dist, complete).  nearest_pk is NULL and
-    complete False for points that found nothing within max_rounds rings.
+    (point_id, nearest_pk, d2_px, dist, complete).  nearest_pk is NULL for
+    points with no geometry anywhere in the frame (complete stays True —
+    once the scanned disk covers the whole frame the answer is
+    conclusive); complete is False only when max_rounds ran out first.
     Ties break by pk ascending (deterministic, matches the SQL oracle).
 
-    Known scale limits (documented, not silent): the bbox cover table is
-    O(docs x bbox-cells-at-`level`) — geometries spanning a large fraction
-    of the frame need a coarser `level` (or the Route-style giant-clip
-    treatment) to keep it bounded; and the doc-geometry side re-enters the
-    per-round pk-bucket shuffle once per annulus round (O(log max_dist)
-    rounds) — a broadcast-gated attach like the finalize join would ship
-    it once when it fits in the object store."""
+    Geometries whose bbox covers more than `giant_cells` cells skip the
+    cover table and are evaluated exactly for EVERY point in round 0; more
+    than `max_giants` of them raises (pick a coarser `level` — a layer
+    where thousands of geometries each span a quarter of the frame has no
+    grid-file locality to exploit at this level)."""
     import pyarrow.compute as pc
-    import ray.data as rd
+
+    from .dedup import _n_buckets_for
 
     cfg = cfg or ResolveConfig()
     plan = plan or prepare(polys_docs_ds, cfg)
@@ -612,15 +700,20 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
 
     unwrapped = polys_docs_ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
 
-    def bbox_cells(t: pa.Table) -> pa.Table:
-        mnx = t["minx"].to_numpy() // w
-        mny = t["miny"].to_numpy() // w
-        mxx = t["maxx"].to_numpy() // w
-        mxy = t["maxy"].to_numpy() // w
-        mnx = np.clip(mnx, 0, n - 1); mny = np.clip(mny, 0, n - 1)
-        mxx = np.clip(mxx, 0, n - 1); mxy = np.clip(mxy, 0, n - 1)
+    def _bbox_cells_counts(t: pa.Table):
+        mnx = np.clip(t["minx"].to_numpy() // w, 0, n - 1)
+        mny = np.clip(t["miny"].to_numpy() // w, 0, n - 1)
+        mxx = np.clip(t["maxx"].to_numpy() // w, 0, n - 1)
+        mxy = np.clip(t["maxy"].to_numpy() // w, 0, n - 1)
+        cnt = (mxx - mnx + 1) * (mxy - mny + 1)
+        return mnx, mny, mxx, mxy, cnt
+
+    def cover_rows(t: pa.Table) -> pa.Table:
+        mnx, mny, mxx, mxy, cnt = _bbox_cells_counts(t)
+        keep = cnt <= giant_cells
+        mnx, mny, mxx, mxy, cnt = (a[keep] for a in (mnx, mny, mxx, mxy, cnt))
+        pk = t["pk"].to_numpy()[keep]
         nx = (mxx - mnx + 1).astype(np.int64)
-        cnt = nx * (mxy - mny + 1)
         total = int(cnt.sum())
         ridx = np.repeat(np.arange(len(cnt)), cnt)
         k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
@@ -629,34 +722,38 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
         cy = np.repeat(mny, cnt) + k // nx_r
         cells = cx * np.int64(n) + cy
         return pa.table(
-            {
-                "cb": pa.array(cells % n_buckets, pa.int64()),
-                "cell": pa.array(cells, pa.int64()),
-                "pk": t["pk"].take(pa.array(ridx, pa.int64())),
-                "is_pt": pa.array(np.zeros(total, bool)),
-                "px": pa.array(np.zeros(total, np.int64)),
-                "py": pa.array(np.zeros(total, np.int64)),
-                "point_id": pa.array(np.zeros(total, np.int64)),
-            }
+            {"cell": pa.array(cells, pa.int64()), "pk": pa.array(pk[ridx], pa.int64())}
         )
 
-    covers = unwrapped.map_batches(bbox_cells, batch_format="pyarrow").materialize()
-    # doc geometry, bucketed by pk for the reduce-side distance evaluation
-    def doc_geo(t: pa.Table) -> pa.Table:
-        pk = t["pk"].to_numpy()
+    def giant_rows(t: pa.Table) -> pa.Table:
+        _, _, _, _, cnt = _bbox_cells_counts(t)
+        g = cnt > giant_cells
+        return pa.table({"pk": pa.array(t["pk"].to_numpy()[g], pa.int64())})
+
+    covers = unwrapped.map_batches(cover_rows, batch_format="pyarrow").materialize()
+    giants_ds = unwrapped.map_batches(giant_rows, batch_format="pyarrow").materialize()
+    n_giants = giants_ds.count()
+    if n_giants > max_giants:
+        raise ValueError(
+            f"nearest_geom_join: {n_giants} geometries exceed giant_cells="
+            f"{giant_cells} at level {level} (cap {max_giants}); use a "
+            f"coarser level"
+        )
+    giant_pks = (
+        np.sort(np.asarray([r["pk"] for r in giants_ds.take_all()], dtype=np.int64))
+        if n_giants
+        else np.empty(0, np.int64)
+    )
+
+    # slim geometry side: one (pk, rings) row per doc — the broadcast
+    # payload AND the shuffle-path union side derive from this one table
+    def geo_slim_rows(t: pa.Table) -> pa.Table:
         return pa.table(
-            {
-                "gb": pa.array(pk % n_buckets, pa.int64()),
-                "pk": t["pk"].combine_chunks(),
-                "rings": t["rings"].combine_chunks(),
-                "is_doc": pa.array(np.ones(len(t), bool)),
-                "point_id": pa.array(np.zeros(len(t), np.int64)),
-                "px": pa.array(np.zeros(len(t), np.int64)),
-                "py": pa.array(np.zeros(len(t), np.int64)),
-            }
+            {"pk": t["pk"].cast(pa.int64()).combine_chunks(),
+             "rings": t["rings"].combine_chunks()}
         )
 
-    geo = unwrapped.map_batches(doc_geo, batch_format="pyarrow").materialize()
+    geo_slim = unwrapped.map_batches(geo_slim_rows, batch_format="pyarrow").materialize()
 
     def init_state(t: pa.Table) -> pa.Table:
         px, py = _snap_points(t, grid)
@@ -669,141 +766,341 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
                 "best_pk": pa.array(np.full(nn, -1, np.int64)),
                 "best_d2": pa.array(np.full(nn, np.inf)),
                 "done": pa.array(np.zeros(nn, bool)),
-            }
+            },
+            schema=_NJ_STATE_SCHEMA,
         )
 
     state = points_ds.map_batches(init_state, batch_format="pyarrow").materialize()
 
-    # geometrically growing annuli: round k scans cells with Chebyshev
-    # radius in (r0*2^(k-1), r0*2^k] (round 0: the full disk of radius
-    # r0).  O(log) rounds to cover the frame — each Ray round costs fixed
-    # shuffle latency, so few fat rounds beat many unit rings.
-    for r in range(max_rounds):
-        R = r0_radius << r
-        R_prev = 0 if r == 0 else (r0_radius << (r - 1))
+    nb = n_buckets or _n_buckets_for(state.count() * 2 + covers.count())
+    cov_bcast = (covers.size_bytes() or 0) <= bcast_limit
+    geo_bcast = (geo_slim.size_bytes() or 0) <= bcast_limit
 
-        def ring_rows(t: pa.Table, _R=R, _Rp=R_prev) -> pa.Table:
-            t = t.filter(pc.invert(t["done"]))
-            if len(t) == 0:
-                return pa.table(
-                    {
-                        "cb": pa.array([], pa.int64()),
-                        "cell": pa.array([], pa.int64()),
-                        "pk": pa.array([], pa.int64()),
-                        "is_pt": pa.array([], pa.bool_()),
-                        "px": pa.array([], pa.int64()),
-                        "py": pa.array([], pa.int64()),
-                        "point_id": pa.array([], pa.int64()),
-                    }
-                )
-            px = t["px"].to_numpy(); py = t["py"].to_numpy()
-            hx = np.clip(px // w, 0, n - 1); hy = np.clip(py // w, 0, n - 1)
-            side = np.arange(-_R, _R + 1, dtype=np.int64)
-            ox, oy = np.meshgrid(side, side, indexing="ij")
-            cheb = np.maximum(np.abs(ox), np.abs(oy)).ravel()
-            keep = cheb > _Rp if _Rp else np.ones(len(cheb), bool)
-            offs = np.stack([ox.ravel()[keep], oy.ravel()[keep]], 1)
-            m = len(offs)
-            cx = hx[:, None] + offs[None, :, 0]
-            cy = hy[:, None] + offs[None, :, 1]
+    def build_cov(parts):
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        tt = pa.concat_tables(parts)
+        cells = tt["cell"].to_numpy()
+        pks = tt["pk"].to_numpy()
+        o = np.argsort(cells, kind="stable")
+        return cells[o].copy(), pks[o].copy()
+
+    def build_geo(parts):
+        d = {}
+        for p in parts:
+            d.update(zip(p["pk"].to_numpy().tolist(), p["rings"].to_pylist()))
+        return d
+
+    fetch_cov = _bcast_fetch(covers, build_cov) if cov_bcast else None
+    fetch_geo = _bcast_fetch(geo_slim, build_geo) if geo_bcast else None
+
+    def _annulus_cells(px: np.ndarray, py: np.ndarray, R: int, Rp: int):
+        """Cells with Chebyshev radius in (Rp, R] around each point cell,
+        chunked so points x offsets stays bounded.  Returns (point row
+        index, cell id) arrays."""
+        hx = np.clip(px // w, 0, n - 1)
+        hy = np.clip(py // w, 0, n - 1)
+        side = np.arange(-R, R + 1, dtype=np.int64)
+        ox, oy = np.meshgrid(side, side, indexing="ij")
+        cheb = np.maximum(np.abs(ox), np.abs(oy)).ravel()
+        keep = cheb > Rp if Rp else np.ones(len(cheb), bool)
+        offs_x = ox.ravel()[keep]
+        offs_y = oy.ravel()[keep]
+        m = max(1, len(offs_x))
+        out_pi, out_cells = [], []
+        step = max(1, 4_000_000 // m)
+        for s0 in range(0, len(px), step):
+            cx = hx[s0 : s0 + step, None] + offs_x[None, :]
+            cy = hy[s0 : s0 + step, None] + offs_y[None, :]
             ok = (cx >= 0) & (cx < n) & (cy >= 0) & (cy < n)
             pi, oi = np.nonzero(ok)
-            cells = cx[pi, oi] * np.int64(n) + cy[pi, oi]
+            out_pi.append(pi + s0)
+            out_cells.append(cx[pi, oi] * np.int64(n) + cy[pi, oi])
+        if not out_pi:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(out_pi), np.concatenate(out_cells)
+
+    def _dedup_pairs_np(pid, pk, px, py):
+        o = np.lexsort((pk, pid))
+        pid, pk, px, py = pid[o], pk[o], px[o], py[o]
+        first = np.r_[True, (pid[1:] != pid[:-1]) | (pk[1:] != pk[:-1])]
+        return pid[first], pk[first], px[first], py[first]
+
+    def _pairs_table(pid, pk, px, py) -> pa.Table:
+        return pa.table(
+            {
+                "point_id": pa.array(pid, pa.int64()),
+                "px": pa.array(px, pa.int64()),
+                "py": pa.array(py, pa.int64()),
+                "pk": pa.array(pk, pa.int64()),
+            },
+            schema=_NJ_PAIR_SCHEMA,
+        )
+
+    def _giant_pairs_np(pid, px, py):
+        g = len(giant_pks)
+        return (
+            np.repeat(pid, g),
+            np.tile(giant_pks, len(pid)),
+            np.repeat(px, g),
+            np.repeat(py, g),
+        )
+
+    # ---- per-round candidate generation ------------------------------
+    def make_cand(state_ds, R: int, Rp: int, rnd: int):
+        if cov_bcast:
+            def cand_bcast(t: pa.Table, _R=R, _Rp=Rp, _rnd=rnd) -> pa.Table:
+                t = t.filter(pc.invert(t["done"]))
+                if len(t) == 0:
+                    return _nj_empty(_NJ_PAIR_SCHEMA)
+                px = t["px"].to_numpy()
+                py = t["py"].to_numpy()
+                pid = t["point_id"].to_numpy()
+                pi, cells = _annulus_cells(px, py, _R, _Rp)
+                cov_cells, cov_pks = fetch_cov()
+                left = np.searchsorted(cov_cells, cells, side="left")
+                right = np.searchsorted(cov_cells, cells, side="right")
+                cnt = right - left
+                total = int(cnt.sum())
+                if total:
+                    ji = np.repeat(np.arange(len(cells)), cnt)
+                    pos = (
+                        np.arange(total, dtype=np.int64)
+                        - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                        + np.repeat(left, cnt)
+                    )
+                    cpid = pid[pi[ji]]
+                    cpk = cov_pks[pos]
+                    cpx = px[pi[ji]]
+                    cpy = py[pi[ji]]
+                else:
+                    cpid = np.empty(0, np.int64)
+                    cpk = np.empty(0, np.int64)
+                    cpx = np.empty(0, np.int64)
+                    cpy = np.empty(0, np.int64)
+                if _rnd == 0 and len(giant_pks):
+                    gp = _giant_pairs_np(pid, px, py)
+                    cpid = np.concatenate([cpid, gp[0]])
+                    cpk = np.concatenate([cpk, gp[1]])
+                    cpx = np.concatenate([cpx, gp[2]])
+                    cpy = np.concatenate([cpy, gp[3]])
+                if not len(cpid):
+                    return _nj_empty(_NJ_PAIR_SCHEMA)
+                return _pairs_table(*_dedup_pairs_np(cpid, cpk, cpx, cpy))
+
+            cand_bcast.__name__ = f"nj_cand_R{R}"
+            return state_ds.map_batches(cand_bcast, batch_format="pyarrow")
+
+        # fallback: per-round cell-bucket shuffle of point rings + the
+        # (int-only) cover rows
+        def ring_rows(t: pa.Table, _R=R, _Rp=Rp) -> pa.Table:
+            t = t.filter(pc.invert(t["done"]))
+            if len(t) == 0:
+                return _nj_empty(_NJ_CELL_SCHEMA)
+            px = t["px"].to_numpy()
+            py = t["py"].to_numpy()
+            pid = t["point_id"].to_numpy()
+            pi, cells = _annulus_cells(px, py, _R, _Rp)
+            nn = len(cells)
             return pa.table(
                 {
-                    "cb": pa.array(cells % n_buckets, pa.int64()),
+                    "cb": pa.array(cells % nb, pa.int64()),
                     "cell": pa.array(cells, pa.int64()),
-                    "pk": pa.array(np.zeros(len(pi), np.int64)),
-                    "is_pt": pa.array(np.ones(len(pi), bool)),
+                    "pk": pa.array(np.zeros(nn, np.int64)),
+                    "is_pt": pa.array(np.ones(nn, bool)),
                     "px": pa.array(px[pi], pa.int64()),
                     "py": pa.array(py[pi], pa.int64()),
-                    "point_id": pa.array(t["point_id"].to_numpy()[pi], pa.int64()),
-                }
+                    "point_id": pa.array(pid[pi], pa.int64()),
+                },
+                schema=_NJ_CELL_SCHEMA,
             )
 
-        ring_rows.__name__ = f"ring_rows_R{R}"
+        ring_rows.__name__ = f"nj_ring_R{R}"
+
+        def cov_union_rows(t: pa.Table) -> pa.Table:
+            cells = t["cell"].to_numpy()
+            nn = len(cells)
+            return pa.table(
+                {
+                    "cb": pa.array(cells % nb, pa.int64()),
+                    "cell": t["cell"].combine_chunks(),
+                    "pk": t["pk"].combine_chunks(),
+                    "is_pt": pa.array(np.zeros(nn, bool)),
+                    "px": pa.array(np.zeros(nn, np.int64)),
+                    "py": pa.array(np.zeros(nn, np.int64)),
+                    "point_id": pa.array(np.zeros(nn, np.int64)),
+                },
+                schema=_NJ_CELL_SCHEMA,
+            )
 
         def cell_join(g: pa.Table) -> pa.Table:
             """Per CELL-BUCKET: match point rows to doc-cover rows on the
             exact cell id via sort + searchsorted (one Ray group handles
-            thousands of cells — per-cell groups would schedule a Python
-            UDF call per cell)."""
+            thousands of cells)."""
             is_pt = g["is_pt"].to_numpy(zero_copy_only=False)
             npt = int(is_pt.sum())
-            ndoc = len(g) - npt
-            if npt == 0 or ndoc == 0:
-                return pa.table(
-                    {
-                        "gb": pa.array([], pa.int64()),
-                        "pk": pa.array([], pa.int64()),
-                        "is_doc": pa.array([], pa.bool_()),
-                        "rings": pa.array([], pa.large_binary()),
-                        "point_id": pa.array([], pa.int64()),
-                        "px": pa.array([], pa.int64()),
-                        "py": pa.array([], pa.int64()),
-                    }
-                )
+            if npt == 0 or npt == len(g):
+                return _nj_empty(_NJ_PAIR_SCHEMA)
             pts = g.filter(pa.array(is_pt))
             docs = g.filter(pa.array(~is_pt))
             dc = docs["cell"].to_numpy()
             o = np.argsort(dc, kind="stable")
             dc_s = dc[o]
             pk_s = docs["pk"].to_numpy()[o]
-            pc_ = pts["cell"].to_numpy()
-            left = np.searchsorted(dc_s, pc_, side="left")
-            right = np.searchsorted(dc_s, pc_, side="right")
+            pcell = pts["cell"].to_numpy()
+            left = np.searchsorted(dc_s, pcell, side="left")
+            right = np.searchsorted(dc_s, pcell, side="right")
             cnt = right - left
             total = int(cnt.sum())
             if total == 0:
-                return pa.table(
-                    {
-                        "gb": pa.array([], pa.int64()),
-                        "pk": pa.array([], pa.int64()),
-                        "is_doc": pa.array([], pa.bool_()),
-                        "rings": pa.array([], pa.large_binary()),
-                        "point_id": pa.array([], pa.int64()),
-                        "px": pa.array([], pa.int64()),
-                        "py": pa.array([], pa.int64()),
-                    }
-                )
-            pi = np.repeat(np.arange(len(pc_)), cnt)
+                return _nj_empty(_NJ_PAIR_SCHEMA)
+            pi = np.repeat(np.arange(len(pcell)), cnt)
             pos = (
                 np.arange(total, dtype=np.int64)
                 - np.repeat(np.cumsum(cnt) - cnt, cnt)
                 + np.repeat(left, cnt)
             )
-            pkj = pk_s[pos]
-            return pa.table(
-                {
-                    "gb": pa.array(pkj % n_buckets, pa.int64()),
-                    "pk": pa.array(pkj, pa.int64()),
-                    "is_doc": pa.array(np.zeros(total, bool)),
-                    "rings": pa.array([None] * total, pa.large_binary()),
-                    "point_id": pa.array(pts["point_id"].to_numpy()[pi], pa.int64()),
-                    "px": pa.array(pts["px"].to_numpy()[pi], pa.int64()),
-                    "py": pa.array(pts["py"].to_numpy()[pi], pa.int64()),
-                }
+            return _pairs_table(
+                *_dedup_pairs_np(
+                    pts["point_id"].to_numpy()[pi],
+                    pk_s[pos],
+                    pts["px"].to_numpy()[pi],
+                    pts["py"].to_numpy()[pi],
+                )
             )
 
         cand = (
-            state.map_batches(ring_rows, batch_format="pyarrow")
-            .union(covers)
+            state_ds.map_batches(ring_rows, batch_format="pyarrow")
+            .union(covers.map_batches(cov_union_rows, batch_format="pyarrow"))
             .groupby("cb")
             .map_groups(cell_join, batch_format="pyarrow")
         )
+        if rnd == 0 and len(giant_pks):
+            def giant_pairs(t: pa.Table) -> pa.Table:
+                t = t.filter(pc.invert(t["done"]))
+                if len(t) == 0:
+                    return _nj_empty(_NJ_PAIR_SCHEMA)
+                return _pairs_table(
+                    *_giant_pairs_np(
+                        t["point_id"].to_numpy(),
+                        t["px"].to_numpy(),
+                        t["py"].to_numpy(),
+                    )
+                )
+
+            cand = cand.union(
+                state_ds.map_batches(giant_pairs, batch_format="pyarrow")
+            )
+        return cand
+
+    def _best_rows(pid, pk, d2) -> pa.Table:
+        """Per-point argmin reduce (tie: pk asc) before the fold shuffle."""
+        o = np.lexsort((pk, d2, pid))
+        pid, pk, d2 = pid[o], pk[o], d2[o]
+        first = np.r_[True, pid[1:] != pid[:-1]]
+        pid, pk, d2 = pid[first], pk[first], d2[first]
+        return pa.table(
+            {
+                "sb": pa.array(pid % nb, pa.int64()),
+                "point_id": pa.array(pid, pa.int64()),
+                "pk": pa.array(pk, pa.int64()),
+                "d2": pa.array(d2, pa.float64()),
+            },
+            schema=_NJ_MIN_SCHEMA,
+        )
+
+    # ---- per-round exact distance evaluation --------------------------
+    def make_mins(cand, rnd: int):
+        if geo_bcast:
+            def eval_bcast(t: pa.Table) -> pa.Table:
+                if len(t) == 0:
+                    return _nj_empty(_NJ_MIN_SCHEMA)
+                d = fetch_geo()
+                pkc = t["pk"].to_numpy()
+                qx = t["px"].to_numpy()
+                qy = t["py"].to_numpy()
+                pid = t["point_id"].to_numpy()
+                d2 = np.full(len(pkc), np.inf)
+                for p in np.unique(pkc):
+                    blob = d.get(int(p))
+                    if blob is None:
+                        continue
+                    m = pkc == p
+                    d2[m] = _point_rings_d2(qx[m], qy[m], stages.unpack_rings(blob)[0])
+                keep = np.isfinite(d2)
+                if not keep.any():
+                    return _nj_empty(_NJ_MIN_SCHEMA)
+                return _best_rows(pid[keep], pkc[keep], d2[keep])
+
+            eval_bcast.__name__ = f"nj_eval_r{rnd}"
+            return cand.map_batches(eval_bcast, batch_format="pyarrow")
+
+        # fallback: pk-bucket reduce-side attach.  The geometry union side
+        # is pre-filtered to the round's candidate pk set when that set is
+        # collectible (<= 2M distinct pks — active-candidate-sized, NOT
+        # layer-sized); beyond the cap the full slim table unions in.
+        import ray as _ray
+
+        cand = cand.materialize()
+
+        def uniq_pks(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"pk": pa.array(np.unique(t["pk"].to_numpy()), pa.int64())}
+            )
+
+        uniq = cand.map_batches(uniq_pks, batch_format="pyarrow").materialize()
+        pk_filter_ref = None
+        if uniq.count() <= 2_000_000:
+            pks = np.unique(
+                np.concatenate(
+                    [p["pk"].to_numpy() for p in _ray.get(list(uniq.to_arrow_refs()))]
+                    or [np.empty(0, np.int64)]
+                )
+            )
+            pk_filter_ref = _ray.put(pks)
+
+        def cand_union(t: pa.Table) -> pa.Table:
+            nn = len(t)
+            return pa.table(
+                {
+                    "gb": pa.array(t["pk"].to_numpy() % nb, pa.int64()),
+                    "pk": t["pk"].combine_chunks(),
+                    "is_doc": pa.array(np.zeros(nn, bool)),
+                    "rings": pa.array([None] * nn, pa.large_binary()),
+                    "point_id": t["point_id"].combine_chunks(),
+                    "px": t["px"].combine_chunks(),
+                    "py": t["py"].combine_chunks(),
+                },
+                schema=_NJ_EVAL_SCHEMA,
+            )
+
+        def geo_union(t: pa.Table) -> pa.Table:
+            pk = t["pk"].to_numpy()
+            if pk_filter_ref is not None:
+                import ray
+
+                keep = np.isin(pk, ray.get(pk_filter_ref))
+                t = t.filter(pa.array(keep))
+                pk = pk[keep]
+            nn = len(t)
+            return pa.table(
+                {
+                    "gb": pa.array(pk % nb, pa.int64()),
+                    "pk": t["pk"].combine_chunks(),
+                    "is_doc": pa.array(np.ones(nn, bool)),
+                    "rings": t["rings"].combine_chunks(),
+                    "point_id": pa.array(np.zeros(nn, np.int64)),
+                    "px": pa.array(np.zeros(nn, np.int64)),
+                    "py": pa.array(np.zeros(nn, np.int64)),
+                },
+                schema=_NJ_EVAL_SCHEMA,
+            )
 
         def eval_dist(g: pa.Table) -> pa.Table:
             is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
             cand_rows = g.filter(pa.array(~is_doc))
             if len(cand_rows) == 0:
-                return pa.table(
-                    {
-                        "sb": pa.array([], pa.int64()),
-                        "point_id": pa.array([], pa.int64()),
-                        "pk": pa.array([], pa.int64()),
-                        "d2": pa.array([], pa.float64()),
-                    }
-                )
+                return _nj_empty(_NJ_MIN_SCHEMA)
             docs = g.filter(pa.array(is_doc))
             rings_by_pk = {
                 int(p): stages.unpack_rings(b)[0]
@@ -821,23 +1118,34 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
                 m = pkc == p
                 d2[m] = _point_rings_d2(qx[m], qy[m], rings)
             keep = np.isfinite(d2)
-            return pa.table(
-                {
-                    "sb": pa.array(pid[keep] % n_buckets, pa.int64()),
-                    "point_id": pa.array(pid[keep], pa.int64()),
-                    "pk": pa.array(pkc[keep], pa.int64()),
-                    "d2": pa.array(d2[keep], pa.float64()),
-                }
-            )
+            if not keep.any():
+                return _nj_empty(_NJ_MIN_SCHEMA)
+            return _best_rows(pid[keep], pkc[keep], d2[keep])
 
-        mins = (
-            cand.union(geo).groupby("gb").map_groups(eval_dist, batch_format="pyarrow")
+        return (
+            cand.map_batches(cand_union, batch_format="pyarrow")
+            .union(geo_slim.map_batches(geo_union, batch_format="pyarrow"))
+            .groupby("gb")
+            .map_groups(eval_dist, batch_format="pyarrow")
         )
+
+    # ---- annulus rounds ------------------------------------------------
+    # geometrically growing annuli clamped to the frame: round k scans
+    # Chebyshev radius (r0*2^(k-1), min(r0*2^k, n-1)]; O(log n) rounds,
+    # each costing one point-sized fold shuffle (plus the fallback
+    # shuffles above when the broadcast gates are off).
+    R_prev = 0
+    for rnd in range(max_rounds):
+        R = min(r0_radius << rnd, n - 1)
+        full_frame = R >= n - 1
+
+        cand = make_cand(state, R, R_prev, rnd)
+        mins = make_mins(cand, rnd)
 
         def state_rows(t: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "sb": pa.array(t["point_id"].to_numpy() % n_buckets, pa.int64()),
+                    "sb": pa.array(t["point_id"].to_numpy() % nb, pa.int64()),
                     "point_id": t["point_id"].combine_chunks(),
                     "pk": t["best_pk"].combine_chunks(),
                     "d2": t["best_d2"].combine_chunks(),
@@ -845,10 +1153,11 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
                     "py": t["py"].combine_chunks(),
                     "done": t["done"].combine_chunks(),
                     "is_state": pa.array(np.ones(len(t), bool)),
-                }
+                },
+                schema=_NJ_FOLD_SCHEMA,
             )
 
-        def cand_rows2(t: pa.Table) -> pa.Table:
+        def min_rows(t: pa.Table) -> pa.Table:
             nn = len(t)
             return pa.table(
                 {
@@ -860,10 +1169,11 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
                     "py": pa.array(np.zeros(nn, np.int64)),
                     "done": pa.array(np.zeros(nn, bool)),
                     "is_state": pa.array(np.zeros(nn, bool)),
-                }
+                },
+                schema=_NJ_FOLD_SCHEMA,
             )
 
-        def fold(g: pa.Table, _R=R) -> pa.Table:
+        def fold(g: pa.Table, _R=R, _full=full_frame) -> pa.Table:
             is_state = g["is_state"].to_numpy(zero_copy_only=False)
             st = g.filter(pa.array(is_state))
             nw = g.filter(pa.array(~is_state))
@@ -880,12 +1190,12 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
                 pid_n, pk_n, d2_n = pid_n[o], pk_n[o], d2_n[o]
                 first = np.r_[True, pid_n[1:] != pid_n[:-1]]
                 pid_f, pk_f, d2_f = pid_n[first], pk_n[first], d2_n[first]
-                pos = np.searchsorted(pid_s, pid_f)  # states sorted? ensure below
-                # states are not sorted: sort both sides
                 so = np.argsort(pid_s, kind="stable")
                 pid_ss = pid_s[so]
                 pos = np.searchsorted(pid_ss, pid_f)
-                valid = (pos < len(pid_ss)) & (pid_ss[np.minimum(pos, len(pid_ss)-1)] == pid_f)
+                valid = (pos < len(pid_ss)) & (
+                    pid_ss[np.minimum(pos, len(pid_ss) - 1)] == pid_f
+                )
                 tgt = so[pos[valid]]
                 upd = (d2_f[valid] < best_d2[tgt]) | (
                     (d2_f[valid] == best_d2[tgt]) & (pk_f[valid] < best_pk[tgt])
@@ -899,6 +1209,10 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
             bound = float((_R - 1) * w)
             if bound >= 0:
                 done |= np.sqrt(best_d2) <= bound
+            if _full:
+                # scanned disk covers the whole frame: every geometry was
+                # a candidate, the answer is conclusive for every point
+                done |= True
             return pa.table(
                 {
                     "point_id": st["point_id"].combine_chunks(),
@@ -907,10 +1221,11 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
                     "best_pk": pa.array(best_pk, pa.int64()),
                     "best_d2": pa.array(best_d2, pa.float64()),
                     "done": pa.array(done, pa.bool_()),
-                }
+                },
+                schema=_NJ_STATE_SCHEMA,
             )
 
-        fold.__name__ = f"fold_R{R}"
+        fold.__name__ = f"nj_fold_R{R}"
         import ray as _ray
 
         # coalesce: the per-round union+sort would otherwise multiply block
@@ -919,14 +1234,22 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
         n_blocks = max(8, int(_ray.cluster_resources().get("CPU", 8)))
         state = (
             state.map_batches(state_rows, batch_format="pyarrow")
-            .union(mins.map_batches(cand_rows2, batch_format="pyarrow"))
+            .union(mins.map_batches(min_rows, batch_format="pyarrow"))
             .groupby("sb")
             .map_groups(fold, batch_format="pyarrow")
             .repartition(n_blocks)
             .materialize()
         )
+        R_prev = R
+        if full_frame:
+            break
         remaining = state.map_batches(
-            lambda t: pa.table({"n": pa.array([int((~t["done"].to_numpy(zero_copy_only=False)).sum())], pa.int64())}),
+            lambda t: pa.table(
+                {"n": pa.array(
+                    [int((~t["done"].to_numpy(zero_copy_only=False)).sum())],
+                    pa.int64(),
+                )}
+            ),
             batch_format="pyarrow",
         ).sum("n")
         if not remaining:
@@ -947,7 +1270,10 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
                     pa.int64(),
                 ),
                 "dist": pa.array(
-                    [float(np.sqrt(d)) * grid.precision if h else None for d, h in zip(best_d2, has)],
+                    [
+                        float(np.sqrt(d)) * grid.precision if h else None
+                        for d, h in zip(best_d2, has)
+                    ],
                     pa.float64(),
                 ),
                 "complete": t["done"].combine_chunks(),
