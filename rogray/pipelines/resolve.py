@@ -104,7 +104,33 @@ def _stitch_levels(faces, mid_level):
     )
     border = faces.map_batches(
         lambda tb: tb.filter(pc.not_equal(tb["kind"], 0)), batch_format="pyarrow"
-    )
+    ).materialize()
+    # Adaptive ladder depth.  Every level below global is a pure
+    # parallelization: pieces that miss each other early still meet at the
+    # per-signature global groups (stages.StitchLocal docstring), so when
+    # the whole border subset is small each sort round is ~2 s of fixed
+    # all-to-all latency spent co-locating rows one map_batches could
+    # re-key — jump straight to the global level.  Above the threshold
+    # (GB-scale borders at 100 TB) the full ladder keeps per-group work
+    # and the universe network bounded.
+    if (border.size_bytes() or 0) <= _SINGLE_STITCH_LIMIT:
+        def to_global_key(tb: pa.Table) -> pa.Table:
+            keys = [
+                stages._default_esc_key(sorted(c or []), 0)
+                for c in tb["cov"].to_pylist()
+            ]
+            return tb.set_column(
+                tb.schema.get_field_index("stitch_key"),
+                "stitch_key",
+                pa.array(keys, pa.string()),
+            )
+
+        st = (
+            border.map_batches(to_global_key, batch_format="pyarrow")
+            .groupby("stitch_key")
+            .map_groups(stages.stitch_global, batch_format="pyarrow")
+        )
+        return interior.union(st)
     st = border.groupby("stitch_key").map_groups(
         stages.StitchLocal(mid_level), batch_format="pyarrow"
     )
@@ -116,6 +142,11 @@ def _stitch_levels(faces, mid_level):
         stages.stitch_global, batch_format="pyarrow"
     )
     return interior.union(st)
+
+
+# border subsets under this size skip the local/mid stitch levels and
+# assemble in one per-signature global round (pure-optimization ladder)
+_SINGLE_STITCH_LIMIT = 64 << 20
 
 
 def resolve_overlap_gap(
