@@ -104,7 +104,7 @@ def _stitch_levels(faces, mid_level):
     )
     border = faces.map_batches(
         lambda tb: tb.filter(pc.not_equal(tb["kind"], 0)), batch_format="pyarrow"
-    ).materialize()
+    )
     # Adaptive ladder depth.  Every level below global is a pure
     # parallelization: pieces that miss each other early still meet at the
     # per-signature global groups (stages.StitchLocal docstring), so when
@@ -112,8 +112,16 @@ def _stitch_levels(faces, mid_level):
     # all-to-all latency spent co-locating rows one map_batches could
     # re-key — jump straight to the global level.  Above the threshold
     # (GB-scale borders at 100 TB) the full ladder keeps per-group work
-    # and the universe network bounded.
-    if (border.size_bytes() or 0) <= _SINGLE_STITCH_LIMIT:
+    # and the universe network bounded.  Gate cheaply first: border is a
+    # subset of the materialized faces, so faces.size_bytes() (a metadata
+    # lookup, no execution) under the limit proves border is under it too
+    # — the common small case skips the border materialize entirely and
+    # the filter fuses into the final execution.
+    if (faces.size_bytes() or 0) > _SINGLE_STITCH_LIMIT:
+        border = border.materialize()
+    if (faces.size_bytes() or 0) <= _SINGLE_STITCH_LIMIT or (
+        border.size_bytes() or 0
+    ) <= _SINGLE_STITCH_LIMIT:
         def to_global_key(tb: pa.Table) -> pa.Table:
             keys = [
                 stages._default_esc_key(sorted(c or []), 0)
@@ -166,6 +174,9 @@ def resolve_overlap_gap(
     moment the stage drains.
     """
     cfg = cfg or ResolveConfig()
+    # the broadcast doc payload is independent of every geometry stage, so
+    # its materialization overlaps the histogram + overlay executions
+    slim_fut = _slim_prefetch(ds)
     plan = plan or prepare(ds, cfg)
     stitched = stitched_faces(ds, cfg, plan)
     if cfg.clean.min_area_to_keep > 0:
@@ -175,7 +186,7 @@ def resolve_overlap_gap(
         stitched = dissolve_small_faces(
             stitched, plan.grid, cfg.topology.utm, cfg.clean.min_area_to_keep
         )
-    return _finalize_join(stitched, ds, plan.grid, cfg.topology.utm)
+    return _finalize_join(stitched, ds, plan.grid, cfg.topology.utm, slim_fut=slim_fut)
 
 
 def face_relation_rows(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | None = None):
@@ -313,7 +324,7 @@ def _spans_payload_json(doc_spans: list[dict]) -> str:
     return json.dumps(out)
 
 
-def _finalize_join(stitched, ds, grid, utm):
+def _finalize_join(stitched, ds, grid, utm, slim_fut=None):
     """JT7 attribute copy (cell.sql:869-873).
 
     Small doc side (by parquet metadata bytes): object-store broadcast —
@@ -341,7 +352,7 @@ def _finalize_join(stitched, ds, grid, utm):
     # size_bytes() — parquet compresses text ~3-5x, so gating on disk
     # bytes alone can ship a multiple of the limit into every worker heap
     if doc_bytes <= _BCAST_JOIN_LIMIT:
-        slim = _docs_slim_sorted(ds)
+        slim = slim_fut.result() if slim_fut is not None else _docs_slim_sorted(ds)
         if (slim.size_bytes() or 0) <= _BCAST_JOIN_LIMIT:
             return _finalize_join_broadcast(stitched, slim, grid, utm)
         # decoded payload over the limit: fall through to the shuffle join
@@ -442,9 +453,13 @@ _BCAST_CACHE: dict = {}
 
 
 def _docs_slim_sorted(ds):
-    """Materialized (jk, doc_id, spans-json) broadcast payload, sorted by
-    jk ONCE so every attach worker skips its own argsort+take of the whole
-    payload (at the 256 MB gate that is real per-worker work)."""
+    """Materialized (jk, doc_id, spans-json) broadcast payload.
+
+    Deliberately NOT network-sorted: a Dataset.sort here is a full
+    all-to-all of the payload (measured 3-12 s at sf0.1) whose only benefit
+    is saving each attach worker ONE argsort of the int64 key column —
+    microseconds at the 256 MB broadcast gate.  attach_bcast sorts lazily
+    per worker process and caches the result (_BCAST_CACHE)."""
 
     def docs_slim(t: pa.Table) -> pa.Table:
         from ..ids import stable_pk
@@ -461,7 +476,27 @@ def _docs_slim_sorted(ds):
             }
         )
 
-    return ds.map_batches(docs_slim, batch_format="pyarrow").sort("jk").materialize()
+    return ds.map_batches(docs_slim, batch_format="pyarrow").materialize()
+
+
+def _slim_prefetch(ds):
+    """Start materializing the broadcast doc payload on a daemon thread so
+    it overlaps the overlay execution (the two pipelines share no inputs
+    beyond the parquet scan; Ray Data executes concurrent datasets on
+    independent streaming executors).  Returns a Future or None when the
+    metadata pre-screen says the shuffle join will be taken anyway."""
+    try:
+        doc_bytes = ds.size_bytes() or 0
+    except Exception:
+        return None
+    if doc_bytes > _BCAST_JOIN_LIMIT:
+        return None
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="slim-prefetch")
+    fut = pool.submit(_docs_slim_sorted, ds)
+    pool.shutdown(wait=False)
+    return fut
 
 
 def _finalize_join_broadcast(stitched, slim, grid, utm):
@@ -585,6 +620,7 @@ def resolve_overlap_gap_resumable(
     from ..state import manifest
 
     cfg = cfg or ResolveConfig()
+    slim_fut = _slim_prefetch(ds)
     plan = prepare(ds, cfg)
     t = cfg.topology
     grid = plan.grid
@@ -596,7 +632,7 @@ def resolve_overlap_gap_resumable(
     # finalize join re-runs only the join
     if manifest.phase_valid(out_dir, "stitched", fp):
         stitched = manifest.checkpoint_phase(out_dir, "stitched", None, fp)
-        return _finalize_join(stitched, ds, grid, t.utm)
+        return _finalize_join(stitched, ds, grid, t.utm, slim_fut=slim_fut)
 
     done = manifest.completed_tiles(out_dir, fp)
     unwrapped = ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
@@ -630,7 +666,7 @@ def resolve_overlap_gap_resumable(
             stitched, grid, t.utm, cfg.clean.min_area_to_keep
         )
     stitched = manifest.checkpoint_phase(out_dir, "stitched", stitched, fp)
-    return _finalize_join(stitched, ds, grid, t.utm)
+    return _finalize_join(stitched, ds, grid, t.utm, slim_fut=slim_fut)
 
 
 # ---------------------------------------------------------------------------
