@@ -248,6 +248,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_nearest_join": lambda sf: __import__(
             "rogray.rectlayer", fromlist=["rect_nearest_join"]
         ).rect_nearest_join(sf),
+        # S1/S2 smoothing under an exact value hash (integer polylines)
+        "smooth_lines_exact": lambda sf: __import__(
+            "rogray.spatial_query", fromlist=["smooth_polylines_exact"]
+        ).smooth_polylines_exact(sf),
         # --- deduplication + clustering (exact algorithm-twin oracles) ---
         "dedup_clusters": lambda sf: __import__(
             "rogray.clusters", fromlist=["duplicate_clusters"]
@@ -482,6 +486,12 @@ def oracle_sql() -> dict[str, str]:
         "rect_nearest_join": __import__(
             "rogray.rectlayer", fromlist=["rect_nearest_join_sql"]
         ).rect_nearest_join_sql(),
+        # S1 Douglas-Peucker + S2 chaikins on integer polylines: the DP
+        # keep-set via a recursive interval CTE with exact int64
+        # predicates, the chaikin sharp test via 4*dot^2 >= 3*l1^2*l2^2
+        "smooth_lines_exact": __import__(
+            "rogray.spatial_query", fromlist=["SMOOTH_EXACT_SQL"]
+        ).SMOOTH_EXACT_SQL,
         # omitted (not SQL-expressible -> rows-only): resolve_overlap_gap
         # family and other geometry pipelines (DuckDB has no spatial ext
         # here), text_lang_id (heuristic), ann_ivf_topk (k-means training;

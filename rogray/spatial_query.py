@@ -313,6 +313,170 @@ def knn_embedding_sql(k: int = 5) -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# exact-oracle smoothing harness (S1/S2 under a DuckDB value hash)
+# --------------------------------------------------------------------------
+
+# synthetic integer polyline per part key — the same formulas appear
+# verbatim in SMOOTH_EXACT_SQL so DuckDB recomputes the input exactly.
+# x strictly increases (no duplicate/zero-length segments, no spikes that
+# reverse direction), every fifth vertex juts 2500 up so the simplifier
+# must keep it and the chaikin pass sees a genuinely sharp (<30 deg)
+# corner there.
+_SMOOTH_TOL = 2.5  # DP tolerance; tol^2 = 6.25 is exact in binary
+
+
+def _smooth_poly_xy(k: int) -> np.ndarray:
+    n = 20 + (k % 11)
+    i = np.arange(n, dtype=np.int64)
+    x = i * 100 + (k * 31 + i * i * 17) % 41
+    y = (k * 57 + i * 23) % 89 + np.where(i % 5 == 2, 2500, 0)
+    return np.stack([x, y], axis=1).astype(np.float64)
+
+
+def smooth_polylines_exact(sf_dir: str):
+    """S1+S2 smoothing under an EXACT DuckDB oracle (reference semantics:
+    cell.sql:676-714 simplify ladder + function_02_chaikinsAcuteAngle.sql).
+
+    Runs the REAL douglas_peucker + chaikins_acute_angle kernels over
+    deterministic integer polylines derived from `part` and emits every
+    output vertex as a row (pk, seq, x, y).  On integer input with
+    tol=2.5 both transforms are exactly SQL-expressible: the DP keep-set
+    via a recursive interval CTE whose predicates are exact int64
+    (cross^2 > tol^2 * len^2), the chaikin sharp test via
+    4*dot^2 >= 3*|v1|^2*|v2|^2 with dot > 0 (cos^2 30 = 3/4), and the
+    inserted corner points are quarters of integers — bit-exact doubles
+    on both sides.  The steep-angle test is disabled (0/360): the input
+    construction has no same-direction collinear corners, so the float
+    and exact predicates cannot disagree."""
+    import ray.data as rd
+
+    from .geom import simplify as simp
+
+    def fn(t: pa.Table) -> pa.Table:
+        ks = t["p_partkey"].to_numpy().astype(np.int64)
+        pk_o, seq_o, x_o, y_o = [], [], [], []
+        for k in ks:
+            line = _smooth_poly_xy(int(k))
+            outl = simp.douglas_peucker(line, _SMOOTH_TOL)
+            outl = simp.chaikins_acute_angle(
+                outl,
+                n_iterations=1,
+                min_degrees=30.0,
+                max_degrees=330.0,
+                min_steep_angle_degrees=0.0,
+                max_steep_angle_degrees=360.0,
+            )
+            m = len(outl)
+            pk_o.extend([int(k)] * m)
+            seq_o.extend(range(m))
+            x_o.extend(outl[:, 0].tolist())
+            y_o.extend(outl[:, 1].tolist())
+        return pa.table(
+            {
+                "pk": pa.array(pk_o, pa.int64()),
+                "seq": pa.array(seq_o, pa.int64()),
+                "x": pa.array(x_o, pa.float64()),
+                "y": pa.array(y_o, pa.float64()),
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SMOOTH_EXACT_SQL = """
+WITH pts AS (
+  SELECT p.p_partkey AS pk, g.i AS k,
+         CAST(g.i * 100 + (p.p_partkey * 31 + g.i * g.i * 17) % 41 AS BIGINT) AS x,
+         CAST((p.p_partkey * 57 + g.i * 23) % 89
+              + CASE WHEN g.i % 5 = 2 THEN 2500 ELSE 0 END AS BIGINT) AS y
+  FROM part p, LATERAL (
+    SELECT UNNEST(range(0, 20 + CAST(p.p_partkey % 11 AS INT))) AS i
+  ) g
+), ends AS (
+  SELECT pk, MAX(k) AS last_k FROM pts GROUP BY pk
+), splits AS (
+  -- Douglas-Peucker as a recursive interval refinement: an interval
+  -- (i,j) splits at its max-perp-distance interior point k when
+  -- cross((B-A),(P-A))^2 > tol^2 * |B-A|^2 (all exact int64; ties on
+  -- the squared cross distance break to the smallest k like np.argmax)
+  WITH RECURSIVE seg(pk, i, j) AS (
+    SELECT pk, 0, last_k FROM ends
+    UNION ALL
+    SELECT w.pk,
+           CASE WHEN h.half = 0 THEN w.i ELSE w.k END,
+           CASE WHEN h.half = 0 THEN w.k ELSE w.j END
+    FROM (
+      SELECT q.pk, q.i, q.j, q.k FROM (
+        SELECT s.pk, s.i, s.j, p.k,
+               ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+             * ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)) AS c2,
+               ((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)) AS l2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.pk, s.i, s.j
+                 ORDER BY ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+                        * ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)) DESC,
+                          p.k ASC
+               ) AS rn
+        FROM seg s
+        JOIN pts a ON a.pk = s.pk AND a.k = s.i
+        JOIN pts b ON b.pk = s.pk AND b.k = s.j
+        JOIN pts p ON p.pk = s.pk AND p.k > s.i AND p.k < s.j
+      ) q
+      WHERE q.rn = 1 AND CAST(q.c2 AS DOUBLE) > 6.25 * CAST(q.l2 AS DOUBLE)
+    ) w
+    CROSS JOIN (SELECT UNNEST([0, 1]) AS half) h
+  )
+  SELECT * FROM seg
+), kept AS (
+  SELECT DISTINCT pk, k FROM (
+    SELECT pk, i AS k FROM splits UNION ALL SELECT pk, j FROM splits
+  )
+), kv AS (
+  SELECT kp.pk, kp.k, p.x, p.y,
+         ROW_NUMBER() OVER (PARTITION BY kp.pk ORDER BY kp.k) AS r,
+         COUNT(*) OVER (PARTITION BY kp.pk) AS m
+  FROM kept kp JOIN pts p ON p.pk = kp.pk AND p.k = kp.k
+), ang AS (
+  SELECT kv.*,
+         LAG(x) OVER w AS px, LAG(y) OVER w AS py,
+         LEAD(x) OVER w AS qx, LEAD(y) OVER w AS qy
+  FROM kv WINDOW w AS (PARTITION BY pk ORDER BY r)
+), sel AS (
+  SELECT pk, r, x, y, px, py, qx, qy,
+         CASE WHEN px IS NULL OR qx IS NULL THEN FALSE
+              ELSE (
+                ((px - x) * (qx - x) + (py - y) * (qy - y)) > 0
+                AND 4 * ((px - x) * (qx - x) + (py - y) * (qy - y))
+                      * ((px - x) * (qx - x) + (py - y) * (qy - y))
+                    >= 3 * ((px - x) * (px - x) + (py - y) * (py - y))
+                        * ((qx - x) * (qx - x) + (qy - y) * (qy - y))
+              ) END AS sharp
+  FROM ang
+), outpts AS (
+  SELECT pk, r, 0 AS sub,
+         CAST(x AS DOUBLE) AS ox, CAST(y AS DOUBLE) AS oy
+  FROM sel WHERE NOT sharp
+  UNION ALL
+  SELECT pk, r, 0 AS sub,
+         CAST(x AS DOUBLE) + 0.25 * (CAST(px AS DOUBLE) - CAST(x AS DOUBLE)),
+         CAST(y AS DOUBLE) + 0.25 * (CAST(py AS DOUBLE) - CAST(y AS DOUBLE))
+  FROM sel WHERE sharp
+  UNION ALL
+  SELECT pk, r, 1 AS sub,
+         CAST(x AS DOUBLE) + 0.25 * (CAST(qx AS DOUBLE) - CAST(x AS DOUBLE)),
+         CAST(y AS DOUBLE) + 0.25 * (CAST(qy AS DOUBLE) - CAST(y AS DOUBLE))
+  FROM sel WHERE sharp
+)
+SELECT pk, CAST(ROW_NUMBER() OVER (PARTITION BY pk ORDER BY r, sub) - 1 AS BIGINT) AS seq,
+       ox AS x, oy AS y
+FROM outpts
+ORDER BY pk, seq
+"""
+
+
 def smooth_lines(ds, simplify_tolerance: float = 0.0, chaikins_iterations: int = 1):
     """Line smoothing operator (reference S1/S2 exposed as a Dataset stage):
     LineString geometry spans are Douglas-Peucker simplified and
