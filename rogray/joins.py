@@ -237,12 +237,18 @@ def shipping_priority(sf_dir: str, cutoff: str = "1998-01-01", n: int = 10):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby(["jk", "o_date_us", "o_orderpriority"], as_index=False).agg(
-            revenue_c=("rev_c", "sum")
+        g = pa.TableGroupBy(
+            t.select(["jk", "o_date_us", "o_orderpriority", "rev_c"]),
+            ["jk", "o_date_us", "o_orderpriority"],
+        ).aggregate([("rev_c", "sum")])
+        return pa.table(
+            {
+                "l_orderkey": g["jk"],
+                "o_date_us": g["o_date_us"],
+                "o_orderpriority": g["o_orderpriority"],
+                "revenue_c": g["rev_c_sum"],
+            }
         )
-        g = g.rename(columns={"jk": "l_orderkey"})
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -410,9 +416,10 @@ def returned_items(sf_dir: str, lo: str = "1997-07-01", hi: str = "1998-01-01", 
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby("o_custkey", as_index=False).agg(revenue_c=("rev_c", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.TableGroupBy(
+            t.select(["o_custkey", "rev_c"]), ["o_custkey"]
+        ).aggregate([("rev_c", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"], "revenue_c": g["rev_c_sum"]})
 
     from ray.data.aggregate import Sum
 

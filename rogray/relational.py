@@ -24,6 +24,12 @@ def _cents(values) -> np.ndarray:
     return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
 
 
+def _picked(g: pa.Table, **out_to_src: str) -> pa.Table:
+    """Select/rename TableGroupBy output by generated name (robust to the
+    key/aggregate column order, which varies across pyarrow versions)."""
+    return pa.table({out: g[src] for out, src in out_to_src.items()})
+
+
 def pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary on lineitem (integer cents)."""
     ds = rd.read_parquet(
@@ -32,16 +38,28 @@ def pricing_summary(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["qty_c"] = _cents(df["l_quantity"])
-        df["price_c"] = _cents(df["l_extendedprice"])
-        df["disc_c"] = _cents(df["l_discount"])
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(sum_qty_c=("qty_c", "sum"), sum_price_c=("price_c", "sum"),
-                 sum_disc_c=("disc_c", "sum"), n=("qty_c", "size"))
+        # pure-Arrow combiner (no per-batch pandas round-trip)
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": pa.array(_cents(t["l_quantity"].to_numpy()), pa.int64()),
+                "price_c": pa.array(_cents(t["l_extendedprice"].to_numpy()), pa.int64()),
+                "disc_c": pa.array(_cents(t["l_discount"].to_numpy()), pa.int64()),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.TableGroupBy(t2, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc_c", "sum"), ([], "count_all")]
+        )
+        return _picked(
+            g,
+            l_returnflag="l_returnflag",
+            l_linestatus="l_linestatus",
+            sum_qty_c="qty_c_sum",
+            sum_price_c="price_c_sum",
+            sum_disc_c="disc_c_sum",
+            n="count_all",
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -94,10 +112,16 @@ def top_customers(sf_dir: str, n: int = 20):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["price_c"] = _cents(df["o_totalprice"])
-        g = df.groupby("o_custkey", as_index=False).agg(total_c=("price_c", "sum"), n_orders=("price_c", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t2 = pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "price_c": pa.array(_cents(t["o_totalprice"].to_numpy()), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t2, ["o_custkey"]).aggregate(
+            [("price_c", "sum"), ([], "count_all")]
+        )
+        return _picked(g, o_custkey="o_custkey", total_c="price_c_sum", n_orders="count_all")
 
     agg = (
         orders.map_batches(partial, batch_format="pyarrow")
@@ -144,15 +168,32 @@ def events_hourly(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["hour_epoch"] = (
-            df["ts"].dt.floor("h").astype("datetime64[ns]").astype("int64") // 10**9
+        import pyarrow.compute as pc
+
+        hour = pc.divide(
+            pc.cast(
+                pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("ns")), unit="hour"),
+                pa.int64(),
+            ),
+            10**9,
         )
-        df["value_c"] = _cents(df["value"])
-        g = df.groupby(["event_type", "hour_epoch"], as_index=False).agg(
-            n=("value_c", "size"), sum_value_c=("value_c", "sum")
+        t2 = pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour_epoch": hour,
+                "value_c": pa.array(_cents(t["value"].to_numpy()), pa.int64()),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.TableGroupBy(t2, ["event_type", "hour_epoch"]).aggregate(
+            [("value_c", "sum"), ([], "count_all")]
+        )
+        return _picked(
+            g,
+            event_type="event_type",
+            hour_epoch="hour_epoch",
+            n="count_all",
+            sum_value_c="value_c_sum",
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -183,11 +224,15 @@ def supplier_nation_rollup(sf_dir: str):
     supp = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["r_name"] = df["s_nationkey"].map(lambda k: rmap.get(nmap.get(k)))
-        df["bal_c"] = _cents(df["s_acctbal"])
-        g = df.groupby("r_name", as_index=False).agg(n_suppliers=("bal_c", "size"), sum_bal_c=("bal_c", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        keys = t["s_nationkey"].to_pylist()
+        t2 = pa.table(
+            {
+                "r_name": pa.array([rmap.get(nmap.get(k)) for k in keys], pa.string()),
+                "bal_c": pa.array(_cents(t["s_acctbal"].to_numpy()), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t2, ["r_name"]).aggregate([("bal_c", "sum"), ([], "count_all")])
+        return _picked(g, r_name="r_name", n_suppliers="count_all", sum_bal_c="bal_c_sum")
 
     return (
         supp.map_batches(partial, batch_format="pyarrow")
@@ -213,11 +258,12 @@ def docs_by_lang(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby(["lang", "source"], as_index=False).agg(
-            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        g = pa.TableGroupBy(
+            t.select(["lang", "source", "n_chars"]), ["lang", "source"]
+        ).aggregate([("n_chars", "sum"), ([], "count_all")])
+        return _picked(
+            g, lang="lang", source="source", n_docs="count_all", sum_chars="n_chars_sum"
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -239,15 +285,24 @@ def part_brand_stats(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand", "p_size", "p_retailprice"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["price_c"] = _cents(df["p_retailprice"])
-        g = df.groupby("p_brand", as_index=False).agg(
-            n_parts=("p_size", "size"),
-            min_size=("p_size", "min"),
-            max_size=("p_size", "max"),
-            sum_price_c=("price_c", "sum"),
+        t2 = pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "p_size": t["p_size"],
+                "price_c": pa.array(_cents(t["p_retailprice"].to_numpy()), pa.int64()),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.TableGroupBy(t2, ["p_brand"]).aggregate(
+            [("p_size", "min"), ("p_size", "max"), ("price_c", "sum"), ([], "count_all")]
+        )
+        return _picked(
+            g,
+            p_brand="p_brand",
+            n_parts="count_all",
+            min_size="p_size_min",
+            max_size="p_size_max",
+            sum_price_c="price_c_sum",
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -276,15 +331,34 @@ def orders_monthly(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderdate", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["month_epoch"] = (
-            df["o_orderdate"].dt.to_period("M").dt.start_time.astype("datetime64[ns]").astype("int64") // 10**9
+        import pyarrow.compute as pc
+
+        month = pc.divide(
+            pc.cast(
+                pc.floor_temporal(
+                    pc.cast(t["o_orderdate"], pa.timestamp("ns")), unit="month"
+                ),
+                pa.int64(),
+            ),
+            10**9,
         )
-        df["price_c"] = _cents(df["o_totalprice"])
-        g = df.groupby(["o_orderstatus", "month_epoch"], as_index=False).agg(
-            n=("price_c", "size"), total_c=("price_c", "sum")
+        t2 = pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "month_epoch": month,
+                "price_c": pa.array(_cents(t["o_totalprice"].to_numpy()), pa.int64()),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.TableGroupBy(t2, ["o_orderstatus", "month_epoch"]).aggregate(
+            [("price_c", "sum"), ([], "count_all")]
+        )
+        return _picked(
+            g,
+            o_orderstatus="o_orderstatus",
+            month_epoch="month_epoch",
+            n="count_all",
+            total_c="price_c_sum",
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
