@@ -53,34 +53,34 @@ def _tile_only_arr(labels) -> np.ndarray:
     )
 
 
-def _ring_masks(face, tile_only: np.ndarray, bounds=None) -> list[np.ndarray]:
-    """Per ring-edge tile-border flags.
+def _border_seg_arr(segs: np.ndarray, tile_only: np.ndarray, bounds=None) -> np.ndarray:
+    """Per-SEGMENT tile-border flags (uint8), computed once per arrangement.
 
-    An edge is "border" when it carries only TILE_ID labels (``tile_only``
+    A segment is "border" when it carries only TILE_ID labels (``tile_only``
     from _tile_only_arr), OR (with ``bounds`` given) when it lies
     geometrically ON the tile rectangle — the latter covers clipped
     giant-polygon runs along the rect, whose segments also carry the
     polygon label but must cancel against the neighbouring tile's
-    identical run in the stitch."""
-    out = []
-    rings = [face.shell] + list(face.holes)
-    segidx = [face.shell_seg] + list(face.holes_seg)
-    for ring, arr in zip(rings, segidx):
-        idx = np.asarray(arr, dtype=np.int64)
-        m = tile_only[idx].astype(np.uint8)
-        if bounds is not None and len(ring):
-            x0, y0, x1, y1 = bounds
-            a = ring
-            b = np.empty_like(a)
-            b[:-1] = a[1:]
-            b[-1] = a[0]
-            on = (
-                ((a[:, 0] == b[:, 0]) & ((a[:, 0] == x0) | (a[:, 0] == x1)))
-                | ((a[:, 1] == b[:, 1]) & ((a[:, 1] == y0) | (a[:, 1] == y1)))
-            )
-            m = (m | on[: len(m)].astype(np.uint8)).astype(np.uint8)
-        out.append(m)
-    return out
+    identical run in the stitch.  The geometric test is orientation-
+    invariant, so evaluating it on the canonical segment equals the old
+    per-ring-edge evaluation."""
+    m = tile_only.astype(np.uint8)
+    if bounds is not None and len(segs):
+        x0, y0, x1, y1 = bounds
+        on = (
+            (segs[:, 0] == segs[:, 2]) & ((segs[:, 0] == x0) | (segs[:, 0] == x1))
+        ) | ((segs[:, 1] == segs[:, 3]) & ((segs[:, 1] == y0) | (segs[:, 1] == y1)))
+        m = m | on.astype(np.uint8)
+    return m
+
+
+def _ring_masks(face, border_seg: np.ndarray) -> list[np.ndarray]:
+    """Per ring-edge tile-border flags: one fancy index per ring into the
+    precomputed per-segment flags (_border_seg_arr)."""
+    return [
+        border_seg[np.asarray(arr, dtype=np.int64)]
+        for arr in [face.shell_seg] + list(face.holes_seg)
+    ]
 
 
 def normalize_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
@@ -192,6 +192,7 @@ def overlay_tile(
     if min_area2_px and kept:
         out = _merge_small_faces(arr, kept, min_area2_px, area2_fn, tile_bounds)
     else:
+        border_seg = _border_seg_arr(arr.segs, tonly, tile_bounds)
         out = [
             TileFace(
                 [f.shell] + f.holes,
@@ -200,7 +201,7 @@ def overlay_tile(
                 TILE_ID in f.touches,
                 f.cov - {TILE_ID},
                 f.touches - {TILE_ID},
-                _ring_masks(f, tonly, tile_bounds),
+                _ring_masks(f, border_seg),
             )
             for f in kept
         ]
@@ -310,6 +311,7 @@ def _merge_small_faces(
     sub_labels = [arr.labels[i] for i in surv]
     arr2 = polygonize.polygonize(sub_segs, sub_labels)
     tonly2 = _tile_only_arr(arr2.labels)
+    border_seg2 = _border_seg_arr(arr2.segs, tonly2, tile_bounds)
     # map new faces to old groups via a boundary segment's left side
     orig_left = {k: side_group(int(arr.cycle_left[i])) for k, i in enumerate(surv)}
     orig_right = {k: side_group(int(arr.cycle_right[i])) for k, i in enumerate(surv)}
@@ -349,7 +351,7 @@ def _merge_small_faces(
                 TILE_ID in nf.touches,
                 cov,
                 nf.touches - {TILE_ID},
-                _ring_masks(nf, tonly2, tile_bounds),
+                _ring_masks(nf, border_seg2),
             )
         )
     return out

@@ -429,8 +429,23 @@ def polygonize(segs: np.ndarray, labels: list[frozenset]) -> Arrangement:
                 sides[p] = -2  # both orientations: no toggle
         return frozenset(p for p, s in sides.items() if s != -2)
 
-    tog_of = [_tog(lab) for lab in labels]
-    pids_of = [frozenset(p for p, _ in lab) for lab in labels]
+    # label sets are shared objects (rings_to_segments emits one frozenset
+    # per ring; noding only replaces them on merges), so memoizing by
+    # object identity collapses the per-segment set walks to one per
+    # distinct label
+    _tog_memo: dict[int, frozenset] = {}
+    _pid_memo: dict[int, frozenset] = {}
+    tog_of = []
+    pids_of = []
+    for lab in labels:
+        key = id(lab)
+        got = _tog_memo.get(key)
+        if got is None:
+            got = _tog(lab)
+            _tog_memo[key] = got
+            _pid_memo[key] = frozenset(p for p, _ in lab)
+        tog_of.append(got)
+        pids_of.append(_pid_memo[key])
 
     for c in comp_order:
         cc = containing_cycle[c]
