@@ -22,6 +22,7 @@ import pyarrow as pa
 from .. import stages
 from ..config import GridConfig, ResolveConfig
 from ..geom import arrangement, core
+from ..rayctx import hash_shuffled
 from ..tiling import quadkey
 from .resolve import ResolvePlan, prepare
 
@@ -90,6 +91,7 @@ class TileDetect:
         )
 
 
+@hash_shuffled
 def find_overlap_gap(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | None = None):
     """documents Dataset -> per-tile overlap/gap report Dataset."""
     cfg = cfg or ResolveConfig()
@@ -194,6 +196,7 @@ class TileCoverageDepth:
         )
 
 
+@hash_shuffled
 def coverage_depth(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | None = None):
     """documents Dataset -> per-tile (depth, area) coverage histogram."""
     cfg = cfg or ResolveConfig()
@@ -374,6 +377,7 @@ class TileEdges:
         )
 
 
+@hash_shuffled
 def extract_edges(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | None = None):
     """documents Dataset -> noded edge listing with source attribution.
 

@@ -26,6 +26,7 @@ import ray.data as rd
 from .. import spans as spans_mod
 from .. import stages
 from ..config import GridConfig, ResolveConfig
+from ..rayctx import hash_shuffled
 from ..tiling import balance
 
 
@@ -56,6 +57,7 @@ def prepare(ds, cfg: ResolveConfig) -> ResolvePlan:
     return ResolvePlan(grid, cut, len(cut.leaves))
 
 
+@hash_shuffled
 def stitched_faces(ds, cfg: ResolveConfig, plan: ResolvePlan):
     """The resolved face set BEFORE attribute finalization: one row per
     output face with exact px rings, coverage set, winner/others, area2.
@@ -157,6 +159,7 @@ def _stitch_levels(faces, mid_level):
 _SINGLE_STITCH_LIMIT = 64 << 20
 
 
+@hash_shuffled
 def resolve_overlap_gap(
     ds,
     cfg: ResolveConfig | None = None,
@@ -189,6 +192,7 @@ def resolve_overlap_gap(
     return _finalize_join(stitched, ds, plan.grid, cfg.topology.utm, slim_fut=slim_fut)
 
 
+@hash_shuffled
 def face_relation_rows(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | None = None):
     """AR5 attribute-table mode (reference create_topology_attrbute_tables,
     cell.sql:390-416,877-899; golden: resolve_overlap_and_gap_expected:36-103
@@ -606,6 +610,7 @@ class _TileOverlayWriter:
         return table
 
 
+@hash_shuffled
 def resolve_overlap_gap_resumable(
     ds,
     out_dir: str,
@@ -708,6 +713,7 @@ def _compress_remap(rm: dict) -> None:
         rm[old] = (live, sm)
 
 
+@hash_shuffled
 def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
                          rounds: int = 100, n_buckets: int | None = None,
                          max_driver_targets: int = 5_000_000):

@@ -17,6 +17,7 @@ import pyarrow as pa
 
 from . import stages
 from .config import GridConfig, ResolveConfig
+from .rayctx import hash_shuffled
 from .geom import core
 from .tiling import quadkey
 from .pipelines.resolve import ResolvePlan, prepare
@@ -28,6 +29,7 @@ def _snap_points(t: pa.Table, grid: GridConfig) -> tuple[np.ndarray, np.ndarray]
     return g[:, 0], g[:, 1]
 
 
+@hash_shuffled
 def point_in_polygon_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None,
                           plan: ResolvePlan | None = None):
     """(point_id, x, y) x polygon documents -> (point_id, pk) containment pairs.
@@ -586,6 +588,7 @@ class _TileCrossJoin:
         )
 
 
+@hash_shuffled
 def layer_intersection_join(docs_a, docs_b, cfg: ResolveConfig | None = None,
                             plan: ResolvePlan | None = None):
     """Two polygon layers -> (pk_a, pk_b, intersection area) pairs.
@@ -832,6 +835,7 @@ def _nj_empty(schema: pa.Schema) -> pa.Table:
     )
 
 
+@hash_shuffled
 def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None,
                       plan: ResolvePlan | None = None, level: int = 7,
                       max_rounds: int = 12, n_buckets: int | None = None,

@@ -19,6 +19,7 @@ def test_bench_headline_only_contract():
         GRAFT_SF_DIR="/root/testdata/sf0.001",
         RAY_GRAFT_CPUS="4",
         ROGRAY_BENCH_ROWS="600",
+        ROGRAY_HEADLINE_RUNS="1",  # the smoke test needs one run, not 3
         RAY_ADDRESS="",  # fresh local session inside the subprocess
     )
     out = subprocess.run(

@@ -244,3 +244,53 @@ def test_smooth_lines_exact_oracle():
     n_in = sum(20 + (int(k) % 11) for k in np.unique(res["pk"].to_numpy()))
     assert len(res) != n_in
     assert (res["x"].to_numpy() % 1 != 0).any()
+
+
+def test_hash_shuffle_matches_sort_shuffle(ray_session):
+    """Round-4: the geometry pipelines build their exchanges under
+    cluster-scaled actor-based hash shuffle (rogray.rayctx) — the
+    sort-based default plans one range-partition object per (block x
+    partition) pair through driver-coordinated reduces, which measured
+    CPU-count-invariant ~11 min at 960k polygons.  The hash plan must
+    produce identical faces, and the override must not leak out of the
+    pipeline builder."""
+    import ray.data as rd
+    from ray.data import DataContext
+
+    from rogray import sources
+    from rogray.config import ResolveConfig, TopologyConfig
+    from rogray.pipelines import resolve
+
+    docs_path = sources.docs_path_for(SF, 300)
+    cfg = ResolveConfig(
+        topology=TopologyConfig(
+            snap_tolerance=1e-5, max_rows_in_each_cell=150, base_level=2
+        )
+    )
+
+    def run(fn):
+        df = fn(rd.read_parquet(docs_path), cfg).to_pandas()
+        df["wkb_hex"] = df["wkb"].map(lambda b: b.hex())
+        return df.sort_values(["winner_pk", "tile", "wkb_hex"]).reset_index(drop=True)
+
+    ctx = DataContext.get_current()
+    before = (
+        ctx.shuffle_strategy,
+        ctx.default_hash_shuffle_parallelism,
+        ctx.max_hash_shuffle_aggregators,
+    )
+    hashed = run(resolve.resolve_overlap_gap)  # decorated: hash shuffle
+    after = (
+        ctx.shuffle_strategy,
+        ctx.default_hash_shuffle_parallelism,
+        ctx.max_hash_shuffle_aggregators,
+    )
+    assert after == before  # scoped override restored
+    plain = run(resolve.resolve_overlap_gap.__wrapped__)  # sort-shuffle plan
+    assert len(hashed) == len(plain) > 0
+    for col in ("doc_id", "winner_pk", "tile", "wkb_hex", "area"):
+        a, b = hashed[col].to_numpy(), plain[col].to_numpy()
+        if a.dtype.kind == "f":  # winner_pk is NaN for gap faces; NaN != NaN
+            assert np.array_equal(a, b, equal_nan=True), col
+        else:
+            assert (a == b).all(), col
