@@ -28,18 +28,29 @@ object explosion) and sizes it to the cluster:
 Measured at 960k polygons / 32 CPUs (single node): overlay execution
 74 s -> 45 s, finalize execution 785 s -> 142 s, identical output rows.
 
-Datasets deep-copy the active ``DataContext`` at creation, so the
-override is scoped: pipelines built inside the ``with`` keep hash
-shuffle for their whole (lazy) lifetime, while datasets built outside
-are untouched.  Sort-based shuffle remains the default for the
-relational/dedup operators whose exchanges are pre-bucketed and small
-per group; flip them by building under this context manager if a
+Scoping: a Dataset copies the active ``DataContext`` once at CREATION
+and every downstream transform SHARES the source's context object
+(``ds.context is ds.map_batches(f).context``), and the shuffle planner
+consults ``self._dataset.context`` — not the global singleton — when it
+builds an exchange.  So the ``with`` block alone only covers datasets
+created inside it; a pipeline built on a caller-created dataset keeps
+the caller's sort strategy no matter what the builder scopes (this
+silently reverted the geometry pipelines to sort shuffle when the bench
+and driver entry points created the source dataset outside).
+``hash_shuffled`` therefore also stamps the hash strategy onto the
+plan context of every Dataset argument — claiming that dataset's whole
+lineage for hash shuffle, which is the intent for the geometry
+pipelines' inputs.  Datasets the caller creates elsewhere and never
+passes in are untouched.  Sort-based shuffle remains the default for
+the relational/dedup operators whose exchanges are pre-bucketed and
+small per group; flip them by building under this context manager if a
 deployment proves driver-bound there too.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from contextlib import contextmanager
 
 import ray
@@ -59,19 +70,80 @@ def _cluster_cpus() -> int:
     return n or 8
 
 
+def _patch_hash_shuffle_empty_partitions() -> None:
+    """Work around a Ray 2.49 hash-shuffle crash on empty exchanges.
+
+    ``_shuffle_block`` returns early for 0-row input blocks BEFORE the
+    schema-broadcast fan-out, but the operator marks schemas as broadcast
+    the moment it submits the first block.  If the first block of an
+    input happens to be empty (all-empty exchanges — a converged dissolve
+    fixpoint round, a border-free stitch, any filter that drains a tiny
+    layer — or just an empty first block at low row counts), partitions
+    that never receive a non-empty shard finalize a ZERO-COLUMN block and
+    ``Concat.finalize``'s ``sort_by(key)`` raises ArrowInvalid ("No match
+    for FieldRef").  Sorting an empty block is the identity, so skipping
+    the sort for 0-row partitions is exact; the zero-column empty block
+    then flows through ``_apply_udf_to_groups`` as zero groups.
+
+    Patch mechanics: the aggregation factory is a driver-side lambda
+    closing over the module-global ``Concat``; it is cloudpickled by
+    value into the aggregator actors, and its class-valued global is
+    pickled BY REFERENCE (module+qualname).  Patching the method on the
+    class object therefore never reaches the actors (they re-import the
+    stock module) — instead we rebind ``hash_shuffle.Concat`` to a
+    subclass that lives HERE, so the pickled reference resolves to
+    ``rogray.rayctx._EmptySafeConcat`` on the workers.  Idempotent;
+    best-effort (a future Ray that drops these internals just skips it,
+    and `ROGRAY_NO_HASH_SHUFFLE_PATCH=1` opts out)."""
+    if os.environ.get("ROGRAY_NO_HASH_SHUFFLE_PATCH"):
+        return
+    try:
+        from ray.data._internal.execution.operators import hash_shuffle as _hs
+
+        if _hs.Concat is not _EmptySafeConcat and _EmptySafeConcat is not None:
+            _hs.Concat = _EmptySafeConcat
+    except Exception:  # pragma: no cover - future-Ray guard
+        pass
+
+
+try:
+    from ray.data._internal.execution.operators.hash_shuffle import Concat as _Concat
+
+    class _EmptySafeConcat(_Concat):
+        """Concat aggregation tolerating schema-less empty partitions
+        (see _patch_hash_shuffle_empty_partitions)."""
+
+        def finalize(self, partition_id: int):
+            block = self._partition_block_builders[partition_id].build()
+            if self._should_sort and block.num_rows > 0:
+                block = block.sort_by(
+                    [(k, "ascending") for k in self._key_columns]
+                )
+            return block
+
+except Exception:  # pragma: no cover - future-Ray guard
+    _EmptySafeConcat = None
+
+
+def _stamp_hash_shuffle(ctx) -> None:
+    """Size the given DataContext for cluster-scaled hash shuffle."""
+    ncpu = _cluster_cpus()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.default_hash_shuffle_parallelism = min(_MAX_PARTITIONS, max(16, 2 * ncpu))
+    ctx.max_hash_shuffle_aggregators = max(1, min(64, ncpu // 4))
+
+
 @contextmanager
 def scaled_hash_shuffle():
     """Build pipelines under cluster-sized actor-based hash shuffle."""
+    _patch_hash_shuffle_empty_partitions()
     ctx = DataContext.get_current()
     prev = (
         ctx.shuffle_strategy,
         ctx.default_hash_shuffle_parallelism,
         ctx.max_hash_shuffle_aggregators,
     )
-    ncpu = _cluster_cpus()
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ctx.default_hash_shuffle_parallelism = min(_MAX_PARTITIONS, max(16, 2 * ncpu))
-    ctx.max_hash_shuffle_aggregators = max(1, min(64, ncpu // 4))
+    _stamp_hash_shuffle(ctx)
     try:
         yield ctx
     finally:
@@ -85,10 +157,20 @@ def scaled_hash_shuffle():
 def hash_shuffled(fn):
     """Decorator: build the wrapped pipeline under scaled_hash_shuffle.
 
-    Safe to nest (inner scopes restore to the outer override)."""
+    Also stamps the hash strategy onto the plan context of every Dataset
+    passed in: the shuffle planner reads the SOURCE dataset's context
+    (shared by its whole lineage, see module docstring), so scoping the
+    global context alone misses pipelines built on caller-created
+    datasets — exactly how the bench/driver entry points call these
+    builders.  Safe to nest (inner scopes restore to the outer
+    override)."""
+    from ray.data import Dataset
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
+        for a in (*args, *kwargs.values()):
+            if isinstance(a, Dataset):
+                _stamp_hash_shuffle(a.context)
         with scaled_hash_shuffle():
             return fn(*args, **kwargs)
 

@@ -268,8 +268,16 @@ def test_hash_shuffle_matches_sort_shuffle(ray_session):
         )
     )
 
-    def run(fn):
-        df = fn(rd.read_parquet(docs_path), cfg).to_pandas()
+    def run(fn, expect_strategy=None):
+        out = fn(rd.read_parquet(docs_path), cfg)
+        if expect_strategy is not None:
+            # the planner reads the SOURCE dataset's context, which the
+            # whole lineage shares — this asserts the plan the executor
+            # will actually use, not the (restored) global context.  A
+            # caller-created source dataset used to silently revert the
+            # decorated pipelines to sort shuffle.
+            assert out.context.shuffle_strategy == expect_strategy
+        df = out.to_pandas()
         df["wkb_hex"] = df["wkb"].map(lambda b: b.hex())
         return df.sort_values(["winner_pk", "tile", "wkb_hex"]).reset_index(drop=True)
 
@@ -279,7 +287,11 @@ def test_hash_shuffle_matches_sort_shuffle(ray_session):
         ctx.default_hash_shuffle_parallelism,
         ctx.max_hash_shuffle_aggregators,
     )
-    hashed = run(resolve.resolve_overlap_gap)  # decorated: hash shuffle
+    from ray.data.context import ShuffleStrategy
+
+    hashed = run(
+        resolve.resolve_overlap_gap, expect_strategy=ShuffleStrategy.HASH_SHUFFLE
+    )  # decorated: hash shuffle
     after = (
         ctx.shuffle_strategy,
         ctx.default_hash_shuffle_parallelism,
@@ -294,3 +306,55 @@ def test_hash_shuffle_matches_sort_shuffle(ray_session):
             assert np.array_equal(a, b, equal_nan=True), col
         else:
             assert (a == b).all(), col
+
+
+def test_hash_shuffle_tolerates_empty_exchanges(ray_session):
+    """Ray 2.49's hash shuffle crashes (ArrowInvalid: no match for the sort
+    key in an EMPTY schema) when an exchange's first block is empty and some
+    partition never receives a non-empty shard — schemas are broadcast with
+    the first submitted block, but `_shuffle_block` early-returns for 0-row
+    blocks before the broadcast.  rogray.rayctx rebinds the Concat
+    aggregation to an empty-safe subclass (the class global is pickled by
+    reference into the aggregator actors, so patching the method in place
+    never reaches them).  All-empty exchanges are legitimate engine states:
+    a converged dissolve fixpoint round, a border-free stitch, a filter
+    that drains a tiny layer."""
+    import ray.data as rd
+
+    from rogray.rayctx import scaled_hash_shuffle
+
+    def empty(b):
+        return pa.table(
+            {"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+        )
+
+    with scaled_hash_shuffle():
+        all_empty = (
+            rd.range(64, override_num_blocks=8)
+            .map_batches(empty, batch_format="pyarrow")
+            .groupby("k")
+            .map_groups(lambda t: t, batch_format="pyarrow")
+        )
+    assert all_empty.count() == 0
+
+    def first_blocks_empty(b):
+        if b["id"][0].as_py() < 32:
+            return empty(b)
+        return pa.table(
+            {"k": pa.array([1, 1, 2], pa.int64()), "v": pa.array([1, 2, 3], pa.int64())}
+        )
+
+    with scaled_hash_shuffle():
+        partial = (
+            rd.range(64, override_num_blocks=8)
+            .map_batches(first_blocks_empty, batch_format="pyarrow")
+            .groupby("k")
+            .map_groups(
+                lambda t: pa.table(
+                    {"k": t["k"][:1], "n": pa.array([len(t)], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    got = partial.to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == [1, 2] and list(got["n"]) == [8, 4]
