@@ -300,12 +300,19 @@ _JOIN_SCHEMA = pa.schema(
 )
 
 
-# Broadcast the doc payload through the object store when the input doc
-# table is smaller than this; above it, fall back to the reduce-side
-# bucketed shuffle join (the 100 TB path).  The broadcast side ships ONCE
-# via ray.put-style object refs built by workers — nothing is collected on
+# Broadcast the doc payload through the object store when its DECODED slim
+# (jk, doc_id, spans-json) form is smaller than this; above it, fall back
+# to the reduce-side bucketed shuffle join (the 100 TB path).  The payload
+# lives ONCE per node in plasma and the attach tasks read it zero-copy as
+# chunked Arrow arrays — per worker-PROCESS heap is only the int64 key
+# column (+ its argsort), 16 bytes/doc, so the limit is bounded by the
+# object-store share, not by heap × processes.  Nothing is collected on
 # the driver in either path.
-_BCAST_JOIN_LIMIT = 256 << 20
+_BCAST_JOIN_LIMIT = 1 << 30
+# Pre-screen on the full doc table's (compressed) parquet bytes, which
+# include the geometry that the slim payload drops — must be a wide
+# multiple of the decoded limit (see _finalize_join).
+_BCAST_PRESCREEN_LIMIT = 8 * _BCAST_JOIN_LIMIT
 
 
 def _spans_payload_json(doc_spans: list[dict]) -> str:
@@ -350,12 +357,18 @@ def _finalize_join(stitched, ds, grid, utm, slim_fut=None):
     try:
         doc_bytes = ds.size_bytes() or 0
     except Exception:
-        doc_bytes = _BCAST_JOIN_LIMIT + 1
-    # two-stage gate: the cheap metadata size (compressed parquet bytes)
-    # only pre-screens; the binding gate is the DECODED slim payload's
-    # size_bytes() — parquet compresses text ~3-5x, so gating on disk
-    # bytes alone can ship a multiple of the limit into every worker heap
-    if doc_bytes <= _BCAST_JOIN_LIMIT:
+        doc_bytes = _BCAST_PRESCREEN_LIMIT + 1
+    # two-stage gate: the cheap metadata size (compressed parquet bytes of
+    # the FULL doc table — geometry included) only pre-screens; the binding
+    # gate is the DECODED slim payload's size_bytes().  The slim payload
+    # drops the geometry — usually the bulk of the table — so the
+    # pre-screen must be a wide multiple of the limit or it rejects
+    # geometry-heavy layers whose slim side broadcasts fine (at 960k
+    # polygons the full parquet is >256 MB while slim decodes to 172 MB;
+    # the old equal-limits screen silently forced the shuffle join).  A
+    # pre-screen miss costs one wasted slim scan that overlaps the overlay
+    # anyway (_slim_prefetch); the decoded gate still binds.
+    if doc_bytes <= _BCAST_PRESCREEN_LIMIT:
         slim = slim_fut.result() if slim_fut is not None else _docs_slim_sorted(ds)
         if (slim.size_bytes() or 0) <= _BCAST_JOIN_LIMIT:
             return _finalize_join_broadcast(stitched, slim, grid, utm)
@@ -493,7 +506,7 @@ def _slim_prefetch(ds):
         doc_bytes = ds.size_bytes() or 0
     except Exception:
         return None
-    if doc_bytes > _BCAST_JOIN_LIMIT:
+    if doc_bytes > _BCAST_PRESCREEN_LIMIT:
         return None
     from concurrent.futures import ThreadPoolExecutor
 
@@ -516,41 +529,51 @@ def _finalize_join_broadcast(stitched, slim, grid, utm):
 
         got = _BCAST_CACHE.get(cache_key)
         if got is None:
+            # The string payload columns stay CHUNKED and plasma-backed:
+            # ray.get of Arrow blocks is zero-copy out of the object store,
+            # so the payload exists once per NODE no matter how many worker
+            # processes attach.  Per-process heap is only the int64 key
+            # column and (when blocks arrive unordered, the common case)
+            # its argsort — 16 bytes/doc; never combine_chunks/take the
+            # payload itself, that would copy it into every process heap.
             parts = [p for p in ray.get(list(refs)) if len(p)]
             if parts:
                 docs = pa.concat_tables(parts)
-                jk = docs["jk"].to_numpy()
+                jk = docs["jk"].to_numpy(zero_copy_only=False)
                 if len(jk) > 1 and not (jk[1:] >= jk[:-1]).all():
-                    order = np.argsort(jk, kind="stable")  # defensive
-                    got = (
-                        jk[order],
-                        docs["w_doc_id"].combine_chunks().take(pa.array(order, pa.int64())),
-                        docs["w_spans_json"].combine_chunks().take(pa.array(order, pa.int64())),
-                    )
+                    order = np.argsort(jk, kind="stable").astype(np.int64)
+                    jk = jk[order]
                 else:
-                    got = (
-                        jk,
-                        docs["w_doc_id"].combine_chunks(),
-                        docs["w_spans_json"].combine_chunks(),
-                    )
+                    order = None
+                got = (jk, order, docs["w_doc_id"], docs["w_spans_json"])
             else:
-                got = (np.empty(0, np.int64), pa.array([], pa.string()), pa.array([], pa.string()))
+                got = (
+                    np.empty(0, np.int64),
+                    None,
+                    pa.chunked_array([], pa.string()),
+                    pa.chunked_array([], pa.string()),
+                )
             # bounded 2-entry FIFO (not clear-then-insert): two broadcast
             # joins interleaving batches in one worker process must not
             # evict each other's payload on every batch
             while len(_BCAST_CACHE) >= 2:
                 _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
             _BCAST_CACHE[cache_key] = got
-        jk_s, doc_arr, span_arr = got
+        jk_s, order, doc_arr, span_arr = got
         n = len(t)
         others = [",".join(map(str, o or [])) for o in t["others"].to_pylist()]
         w = t["winner_pk"].to_numpy()
         if len(jk_s):
             pos = np.minimum(np.searchsorted(jk_s, w), len(jk_s) - 1)
             miss = jk_s[pos] != w
-            idx = pa.array(pos, pa.int64(), mask=miss)
+            orig = order[pos] if order is not None else pos
+            idx = pa.array(orig, pa.int64(), mask=miss)
             w_doc = doc_arr.take(idx)
             w_span = span_arr.take(idx)
+            if isinstance(w_doc, pa.ChunkedArray):
+                w_doc = w_doc.combine_chunks()
+            if isinstance(w_span, pa.ChunkedArray):
+                w_span = w_span.combine_chunks()
         else:
             w_doc = pa.array([None] * n, pa.string())
             w_span = pa.array([None] * n, pa.string())

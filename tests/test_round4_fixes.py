@@ -358,3 +358,41 @@ def test_hash_shuffle_tolerates_empty_exchanges(ray_session):
         )
     got = partial.to_pandas().sort_values("k").reset_index(drop=True)
     assert list(got["k"]) == [1, 2] and list(got["n"]) == [8, 4]
+
+
+def test_finalize_join_paths_match(ray_session, monkeypatch):
+    """The finalize attribute join has two implementations — object-store
+    broadcast (doc side fits the decoded gate) and reduce-side bucketed
+    shuffle (the 100 TB path).  Forcing the shuffle path by zeroing the
+    gates must produce identical faces.  Also pins the round-4 pre-screen
+    fix: the screen is on FULL-table parquet bytes (geometry included)
+    and must sit far above the decoded slim gate, or geometry-heavy
+    layers silently lose the broadcast path."""
+    import ray.data as rd
+
+    import rogray.sources as sources
+    from rogray.config import ResolveConfig, TopologyConfig
+    from rogray.pipelines import resolve
+
+    assert resolve._BCAST_PRESCREEN_LIMIT >= 4 * resolve._BCAST_JOIN_LIMIT
+
+    docs_path = sources.docs_path_for(SF, 400)
+    cfg = ResolveConfig(
+        topology=TopologyConfig(
+            snap_tolerance=1e-5, max_rows_in_each_cell=200, base_level=2
+        )
+    )
+
+    def run():
+        df = resolve.resolve_overlap_gap(rd.read_parquet(docs_path), cfg).to_pandas()
+        df["wkb_hex"] = df["wkb"].map(lambda b: b.hex())
+        df["spans_n"] = df["spans"].map(len)
+        df = df.drop(columns=["spans", "wkb"])
+        return df.sort_values(["winner_pk", "tile", "wkb_hex"]).reset_index(drop=True)
+
+    bcast = run()
+    monkeypatch.setattr(resolve, "_BCAST_JOIN_LIMIT", 0)
+    monkeypatch.setattr(resolve, "_BCAST_PRESCREEN_LIMIT", 0)
+    shuf = run()
+    pd.testing.assert_frame_equal(bcast, shuf)
+    assert bcast["doc_id"].notna().any()  # winners actually attached
