@@ -25,8 +25,13 @@ object explosion) and sizes it to the cluster:
 - ``max_hash_shuffle_aggregators``: ~1/4 of the CPUs, so shuffle
   aggregation never crowds out the map/compute stages that feed it.
 
-Measured at 960k polygons / 32 CPUs (single node): overlay execution
-74 s -> 45 s, finalize execution 785 s -> 142 s, identical output rows.
+Measured at 960k polygons / 32 CPUs (single node): sort-based headline
+leg 248.6 s; with hash shuffle genuinely applied to the whole lineage
+(see Scoping below) 97-154 s across quiet/noisy box samples, identical
+2 043 930 output faces.  (The round-4 first-cut figures — overlay 74 s
+-> 45 s, finalize 785 s -> 142 s — were measured with the source dataset
+created inside the scope; the committed entry points create it outside,
+which is exactly the case the argument-stamping below exists for.)
 
 Scoping: a Dataset copies the active ``DataContext`` once at CREATION
 and every downstream transform SHARES the source's context object
