@@ -926,6 +926,11 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
         the reference's longest-edge rule generalized to total length.
         Cycles among mutually-preferring small faces are broken
         driver-side (the driver holds the full target map anyway)."""
+        # fix the float-accumulation order BEFORE summing: group-internal
+        # row order is arrival order (nondeterministic under hash
+        # shuffle), and a ULP difference between two near-tied neighbour
+        # totals would flip the target run-to-run
+        g = g.sort_values(["small_uid", "nbr_uid", "seg_len"], kind="mergesort")
         out_s, out_t = [], []
         for su, idx in g.groupby("small_uid").indices.items():
             sub = g.iloc[idx]

@@ -107,6 +107,20 @@ def _patch_hash_shuffle_empty_partitions() -> None:
 
         if _hs.Concat is not _EmptySafeConcat and _EmptySafeConcat is not None:
             _hs.Concat = _EmptySafeConcat
+        # Shard pushes to the stateful aggregator actors are NOT
+        # idempotent: ``_shuffle_block`` awaits each ``aggregator.submit``
+        # as it goes, so a worker crash BETWEEN the first accepted shard
+        # and task completion followed by Ray's default task retry
+        # (max_retries=3 on worker crash) re-submits the already-accepted
+        # shards — silent row duplication, surfacing as e.g. residual
+        # overlap pairs in a resolved layer.  At 100 TB, preemption/OOM
+        # worker kills are routine, so the default would corrupt results
+        # exactly when the cluster is under pressure.  Fail the execution
+        # loudly instead and lean on the phase-granular checkpoints
+        # (state/manifest.py) for recovery; deployments that prefer the
+        # retry-with-duplication risk can override via env.
+        n_retries = int(os.environ.get("ROGRAY_SHUFFLE_TASK_RETRIES", "0"))
+        _hs._shuffle_block._default_options["max_retries"] = n_retries
     except Exception:  # pragma: no cover - future-Ray guard
         pass
 

