@@ -750,6 +750,28 @@ def _bcast_fetch(mat, build):
     return fetch
 
 
+def _eval_d2_by_pk(qx, qy, pkc, lookup) -> np.ndarray:
+    """Exact point→geometry d² for (qx, qy, pkc) candidate rows: group rows
+    by pk via one sort (not a per-pk full-array mask — that is
+    O(distinct-pks × candidates)), resolve each pk's rings once through
+    `lookup` (pk -> unpacked rings list, or None) and evaluate the group.
+    Rows whose pk resolves to None keep d² = inf."""
+    d2 = np.full(len(pkc), np.inf)
+    if not len(pkc):
+        return d2
+    o = np.argsort(pkc, kind="stable")
+    pks_s = pkc[o]
+    starts = np.r_[0, np.nonzero(pks_s[1:] != pks_s[:-1])[0] + 1]
+    ends = np.r_[starts[1:], len(pks_s)]
+    for s, e in zip(starts, ends):
+        rings = lookup(int(pks_s[s]))
+        if rings is None:
+            continue
+        idx = o[s:e]
+        d2[idx] = _point_rings_d2(qx[idx], qy[idx], rings)
+    return d2
+
+
 def _point_rings_d2(qx: np.ndarray, qy: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
     """Exact squared distance (px^2, float64) of points to a polygon's
     boundary, 0 when inside (even-odd).  Fully vectorized (points x
@@ -877,10 +899,16 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
         return mnx, mny, mxx, mxy, cnt
 
     def cover_rows(t: pa.Table) -> pa.Table:
+        """Cover rows + giant markers in ONE pass: geometries whose bbox
+        spans more than giant_cells cells emit a single cell=-1 row instead
+        of a cover expansion, so the (decode-heavy) Unwrap upstream runs
+        once, not once per derived table."""
         mnx, mny, mxx, mxy, cnt = _bbox_cells_counts(t)
+        pk_all = t["pk"].to_numpy()
         keep = cnt <= giant_cells
+        gpk = pk_all[~keep]
         mnx, mny, mxx, mxy, cnt = (a[keep] for a in (mnx, mny, mxx, mxy, cnt))
-        pk = t["pk"].to_numpy()[keep]
+        pk = pk_all[keep]
         nx = (mxx - mnx + 1).astype(np.int64)
         total = int(cnt.sum())
         ridx = np.repeat(np.arange(len(cnt)), cnt)
@@ -890,27 +918,34 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
         cy = np.repeat(mny, cnt) + k // nx_r
         cells = cx * np.int64(n) + cy
         return pa.table(
-            {"cell": pa.array(cells, pa.int64()), "pk": pa.array(pk[ridx], pa.int64())}
+            {
+                "cell": pa.array(
+                    np.concatenate([cells, np.full(len(gpk), -1, np.int64)]),
+                    pa.int64(),
+                ),
+                "pk": pa.array(np.concatenate([pk[ridx], gpk]), pa.int64()),
+            }
         )
-
-    def giant_rows(t: pa.Table) -> pa.Table:
-        _, _, _, _, cnt = _bbox_cells_counts(t)
-        g = cnt > giant_cells
-        return pa.table({"pk": pa.array(t["pk"].to_numpy()[g], pa.int64())})
 
     covers = unwrapped.map_batches(cover_rows, batch_format="pyarrow").materialize()
-    giants_ds = unwrapped.map_batches(giant_rows, batch_format="pyarrow").materialize()
-    n_giants = giants_ds.count()
-    if n_giants > max_giants:
+
+    def only_giants(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.equal(t["cell"], -1))
+
+    # bounded pull: take(cap+1) stops at the cap instead of collecting an
+    # adversarial giant set before raising
+    giant_take = covers.map_batches(only_giants, batch_format="pyarrow").take(
+        max_giants + 1
+    )
+    if len(giant_take) > max_giants:
         raise ValueError(
-            f"nearest_geom_join: {n_giants} geometries exceed giant_cells="
-            f"{giant_cells} at level {level} (cap {max_giants}); use a "
-            f"coarser level"
+            f"nearest_geom_join: more than {max_giants} geometries exceed "
+            f"giant_cells={giant_cells} at level {level}; use a coarser level"
         )
-    giant_pks = (
-        np.sort(np.asarray([r["pk"] for r in giants_ds.take_all()], dtype=np.int64))
-        if n_giants
-        else np.empty(0, np.int64)
+    giant_pks = np.sort(
+        np.asarray([r["pk"] for r in giant_take], dtype=np.int64)
     )
 
     # slim geometry side: one (pk, rings) row per doc — the broadcast
@@ -950,6 +985,8 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
         tt = pa.concat_tables(parts)
         cells = tt["cell"].to_numpy()
         pks = tt["pk"].to_numpy()
+        real = cells >= 0  # drop the giant markers
+        cells, pks = cells[real], pks[real]
         o = np.argsort(cells, kind="stable")
         return cells[o].copy(), pks[o].copy()
 
@@ -1086,6 +1123,7 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
         ring_rows.__name__ = f"nj_ring_R{R}"
 
         def cov_union_rows(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater_equal(t["cell"], 0))  # drop giant markers
             cells = t["cell"].to_numpy()
             nn = len(cells)
             return pa.table(
@@ -1184,17 +1222,16 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
                 if len(t) == 0:
                     return _nj_empty(_NJ_MIN_SCHEMA)
                 d = fetch_geo()
+
+                def rings_of(p: int):
+                    blob = d.get(p)
+                    return None if blob is None else stages.unpack_rings(blob)[0]
+
                 pkc = t["pk"].to_numpy()
                 qx = t["px"].to_numpy()
                 qy = t["py"].to_numpy()
                 pid = t["point_id"].to_numpy()
-                d2 = np.full(len(pkc), np.inf)
-                for p in np.unique(pkc):
-                    blob = d.get(int(p))
-                    if blob is None:
-                        continue
-                    m = pkc == p
-                    d2[m] = _point_rings_d2(qx[m], qy[m], stages.unpack_rings(blob)[0])
+                d2 = _eval_d2_by_pk(qx, qy, pkc, rings_of)
                 keep = np.isfinite(d2)
                 if not keep.any():
                     return _nj_empty(_NJ_MIN_SCHEMA)
@@ -1278,13 +1315,7 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
             qx = cand_rows["px"].to_numpy()
             qy = cand_rows["py"].to_numpy()
             pid = cand_rows["point_id"].to_numpy()
-            d2 = np.full(len(pkc), np.inf)
-            for p in np.unique(pkc):
-                rings = rings_by_pk.get(int(p))
-                if rings is None:
-                    continue
-                m = pkc == p
-                d2[m] = _point_rings_d2(qx[m], qy[m], rings)
+            d2 = _eval_d2_by_pk(qx, qy, pkc, rings_by_pk.get)
             keep = np.isfinite(d2)
             if not keep.any():
                 return _nj_empty(_NJ_MIN_SCHEMA)
@@ -1297,16 +1328,97 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
             .map_groups(eval_dist, batch_format="pyarrow")
         )
 
-    # ---- annulus rounds ------------------------------------------------
-    # geometrically growing annuli clamped to the frame: round k scans
-    # Chebyshev radius (r0*2^(k-1), min(r0*2^k, n-1)]; O(log n) rounds,
-    # each costing one point-sized fold shuffle (plus the fallback
-    # shuffles above when the broadcast gates are off).
-    R_prev = 0
-    for rnd in range(max_rounds):
-        R = min(r0_radius << rnd, n - 1)
-        full_frame = R >= n - 1
+    def make_round_fused(R: int, Rp: int, rnd: int, full: bool):
+        """One annulus round as a single map over state blocks.  Both
+        broadcast gates are on, so a point's candidate generation, exact
+        distances and best-update all happen inside its own block — the
+        round shuffles nothing (vs. the union→groupby fold below)."""
 
+        def round_fused(t: pa.Table) -> pa.Table:
+            px = t["px"].to_numpy()
+            py = t["py"].to_numpy()
+            best_pk = t["best_pk"].to_numpy().copy()
+            best_d2 = t["best_d2"].to_numpy().copy()
+            done = t["done"].to_numpy(zero_copy_only=False).copy()
+            act = np.nonzero(~done)[0]
+            if len(act):
+                apx = px[act]
+                apy = py[act]
+                pi, cells = _annulus_cells(apx, apy, R, Rp)
+                cov_cells, cov_pks = fetch_cov()
+                left = np.searchsorted(cov_cells, cells, side="left")
+                right = np.searchsorted(cov_cells, cells, side="right")
+                cnt = right - left
+                total = int(cnt.sum())
+                if total:
+                    ji = np.repeat(np.arange(len(cells)), cnt)
+                    pos = (
+                        np.arange(total, dtype=np.int64)
+                        - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                        + np.repeat(left, cnt)
+                    )
+                    cpi = pi[ji]
+                    cpk = cov_pks[pos]
+                else:
+                    cpi = np.empty(0, np.int64)
+                    cpk = np.empty(0, np.int64)
+                if rnd == 0 and len(giant_pks):
+                    g = len(giant_pks)
+                    cpi = np.concatenate([cpi, np.repeat(np.arange(len(act)), g)])
+                    cpk = np.concatenate([cpk, np.tile(giant_pks, len(act))])
+                if len(cpi):
+                    o = np.lexsort((cpk, cpi))
+                    cpi, cpk = cpi[o], cpk[o]
+                    first = np.r_[
+                        True, (cpi[1:] != cpi[:-1]) | (cpk[1:] != cpk[:-1])
+                    ]
+                    cpi, cpk = cpi[first], cpk[first]
+                    geo = fetch_geo()
+
+                    def rings_of(p: int):
+                        blob = geo.get(p)
+                        return None if blob is None else stages.unpack_rings(blob)[0]
+
+                    qx = apx[cpi]
+                    qy = apy[cpi]
+                    d2 = _eval_d2_by_pk(qx, qy, cpk, rings_of)
+                    keep = np.isfinite(d2)
+                    if keep.any():
+                        ci, ck, cd = cpi[keep], cpk[keep], d2[keep]
+                        # argmin per point, pk-asc tie-break (matches fold)
+                        o2 = np.lexsort((ck, cd, ci))
+                        ci, ck, cd = ci[o2], ck[o2], cd[o2]
+                        f2 = np.r_[True, ci[1:] != ci[:-1]]
+                        ci, ck, cd = ci[f2], ck[f2], cd[f2]
+                        tgt = act[ci]
+                        upd = (cd < best_d2[tgt]) | (
+                            (cd == best_d2[tgt]) & (ck < best_pk[tgt])
+                        )
+                        ti = tgt[upd]
+                        best_d2[ti] = cd[upd]
+                        best_pk[ti] = ck[upd]
+            # identical termination rule to the shuffle-path fold
+            bound = float((R - 1) * w)
+            if bound >= 0:
+                done |= np.sqrt(best_d2) <= bound
+            if full:
+                done |= True
+            return pa.table(
+                {
+                    "point_id": t["point_id"].combine_chunks(),
+                    "px": t["px"].combine_chunks(),
+                    "py": t["py"].combine_chunks(),
+                    "best_pk": pa.array(best_pk, pa.int64()),
+                    "best_d2": pa.array(best_d2, pa.float64()),
+                    "done": pa.array(done, pa.bool_()),
+                },
+                schema=_NJ_STATE_SCHEMA,
+            )
+
+        round_fused.__name__ = f"nj_round_R{R}"
+        return round_fused
+
+    def _shuffle_round(state, R, R_prev, rnd, full_frame):
         cand = make_cand(state, R, R_prev, rnd)
         mins = make_mins(cand, rnd)
 
@@ -1408,6 +1520,26 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
             .repartition(n_blocks)
             .materialize()
         )
+        return state
+
+    # ---- annulus rounds ------------------------------------------------
+    # geometrically growing annuli clamped to the frame: round k scans
+    # Chebyshev radius (r0*2^(k-1), min(r0*2^k, n-1)]; O(log n) rounds.
+    # With both broadcast gates on (cover + slim geometry fit the object
+    # store) a round is ONE embarrassingly-parallel map over the state
+    # blocks — nothing shuffles; otherwise each round pays the cell-bucket
+    # / pk-bucket exchanges plus a point-sized fold shuffle.
+    R_prev = 0
+    for rnd in range(max_rounds):
+        R = min(r0_radius << rnd, n - 1)
+        full_frame = R >= n - 1
+        if cov_bcast and geo_bcast:
+            state = state.map_batches(
+                make_round_fused(R, R_prev, rnd, full_frame),
+                batch_format="pyarrow",
+            ).materialize()
+        else:
+            state = _shuffle_round(state, R, R_prev, rnd, full_frame)
         R_prev = R
         if full_frame:
             break
