@@ -233,6 +233,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_rasterize_runs": lambda sf: __import__(
             "rogray.rectlayer", fromlist=["rect_rasterize_runs"]
         ).rect_rasterize_runs(sf),
+        "rect_vectorize_area": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_vectorize_area"]
+        ).rect_vectorize_area(sf),
         "rect_zonal_stats": lambda sf: __import__(
             "rogray.rectlayer", fromlist=["rect_zonal_stats"]
         ).rect_zonal_stats(sf),
@@ -463,6 +466,11 @@ def oracle_sql() -> dict[str, str]:
         "rect_rasterize_runs": __import__(
             "rogray.rectlayer", fromlist=["rect_rasterize_runs_sql"]
         ).rect_rasterize_runs_sql(),
+        # raster->vector round trip: per-zone vectorized polygon area
+        # (exact integer shoelace, shells minus holes) == pixel count
+        "rect_vectorize_area": __import__(
+            "rogray.rectlayer", fromlist=["rect_vectorize_area_sql"]
+        ).rect_vectorize_area_sql(),
         "rect_zonal_stats": __import__(
             "rogray.rectlayer", fromlist=["rect_zonal_stats_sql"]
         ).rect_zonal_stats_sql(),

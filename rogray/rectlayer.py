@@ -559,6 +559,79 @@ ORDER BY 1, 2, 3
 """
 
 
+def rect_vectorize_area(sf_dir: str):
+    """raster->vector round-trip under an exact oracle.
+
+    The resolved winner mosaic is rasterized to RLE runs (same path as
+    rect_rasterize_runs), each zone's binary mask is rebuilt from its runs
+    and vectorized with the marching-squares edge-cancel + polygonize
+    kernel (raster.vectorize_mask); the polygons' exact integer shoelace
+    area (shells minus holes) must equal the zone's pixel count, which
+    DuckDB recomputes by unit-cell enumeration.  Pins edge cancellation,
+    polygonization, hole nesting and orientation in one integer identity
+    (reference analogue: get_face_geo / C9, cell.sql:833-873 builds faces
+    from edges the same way).
+    """
+    from . import raster
+    from .geom import core
+    from .pipelines import resolve
+
+    docs = rect_docs(sf_dir)
+    cfg = rect_cfg()
+    plan = rect_plan(docs, cfg)
+    res = resolve.resolve_overlap_gap(docs, cfg, plan)
+
+    def covered_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["winner_pk"], 0))
+
+    runs = raster.rasterize_faces(
+        res.map_batches(covered_only, batch_format="pyarrow"),
+        plan.grid,
+        zone_col="winner_pk",
+    )
+
+    def per_zone(g: pa.Table) -> pa.Table:
+        zone = int(g["zone"][0].as_py())
+        cy = g["cy"].to_numpy()
+        x0 = g["x0"].to_numpy()
+        x1 = g["x1"].to_numpy()
+        ymin = int(cy.min())
+        xmin = int(x0.min())
+        mask = np.zeros((int(cy.max()) - ymin + 1, int(x1.max()) - xmin), bool)
+        for yy, a, b in zip(cy, x0, x1):
+            mask[int(yy) - ymin, int(a) - xmin : int(b) - xmin] = True
+        area2 = 0
+        for rings in raster.vectorize_mask(mask, origin_px=(xmin, ymin), cell_px=1):
+            area2 += abs(core.ring_signed_area2(rings[0]))
+            for hole in rings[1:]:
+                area2 -= abs(core.ring_signed_area2(hole))
+        assert area2 % 2 == 0
+        return pa.table(
+            {
+                "winner_id": pa.array([zone], pa.int64()),
+                "vec_area": pa.array([area2 // 2], pa.int64()),
+            }
+        )
+
+    return runs.groupby("zone").map_groups(per_zone, batch_format="pyarrow")
+
+
+def rect_vectorize_area_sql() -> str:
+    return f"""
+WITH {_RECT_CTE},
+xs AS (
+    SELECT k, y1, y2, unnest(generate_series(x1, x2 - 1)) AS cx FROM rect
+),
+cells AS (
+    SELECT k, cx, unnest(generate_series(y1, y2 - 1)) AS cy FROM xs
+),
+win AS (
+    SELECT cx, cy, MIN(k) AS winner_id FROM cells GROUP BY 1, 2
+)
+SELECT winner_id, COUNT(*) AS vec_area FROM win GROUP BY 1 ORDER BY 1
+"""
+
+
 def rect_zonal_stats(sf_dir: str):
     """Raster->vector zonal statistics over the synthetic raster field.
 

@@ -135,6 +135,14 @@ class TestRasterOps:
             rectlayer.rect_zonal_stats(SF), rectlayer.rect_zonal_stats_sql()
         )
 
+    def test_vectorize_area_oracle(self, ray_session):
+        """raster->vector round trip: vectorized polygon area (shells minus
+        holes, exact integer shoelace) equals the zone's pixel count."""
+        got = _assert_exact(
+            rectlayer.rect_vectorize_area(SF), rectlayer.rect_vectorize_area_sql()
+        )
+        assert (got["vec_area"] > 0).all()
+
 
 class TestScanlineKernel:
     """The rasterizer kernel vs a brute-force even-odd center test."""
