@@ -71,16 +71,20 @@ def stitched_faces(ds, cfg: ResolveConfig, plan: ResolvePlan):
     # it holds no data (gaps spanning empty tiles, exact universe frontier)
     routed = routed.union(rd.from_arrow(_marker_table(plan)))
     coarse_level = _coarse_level(plan, t.base_level)
-    # task-pool stage: the overlay needs no per-actor state (all state is
-    # per tile group), and task pools release CPUs the moment the dataset
-    # finishes - actor pools were observed pinning CPUs after execution,
-    # starving later pipelines in the same session
-    faces = routed.groupby("tile").map_groups(
-        stages.TileOverlay(
-            grid, t.utm, cfg.clean.min_area_to_keep, coarse_level, clean=cfg.clean
-        ),
-        batch_format="pyarrow",
+    overlay = stages.TileOverlay(
+        grid, t.utm, cfg.clean.min_area_to_keep, coarse_level, clean=cfg.clean
     )
+    # small inputs skip the tile all-to-all entirely: bin-packed per-tile
+    # plain Ray tasks (stages.small_group_fanout — the exchange's fixed
+    # floor and 64-partition bin packing cost more than the overlay
+    # itself at test scales); big inputs run the hash shuffle unchanged.
+    # Task-pool stage either way: the overlay needs no per-actor state
+    # (all state is per tile group), and task pools release CPUs the
+    # moment the dataset finishes - actor pools were observed pinning
+    # CPUs after execution, starving later pipelines in the same session
+    faces, routed = stages.small_group_fanout(ds, routed, "tile", overlay)
+    if faces is None:
+        faces = routed.groupby("tile").map_groups(overlay, batch_format="pyarrow")
     return _stitch_levels(faces, _mid_level(coarse_level))
 
 
@@ -100,47 +104,48 @@ def _stitch_levels(faces, mid_level):
     a level, so the straggler group shrinks geometrically."""
     import pyarrow.compute as pc
 
+    import ray
+
     faces = faces.materialize()
     interior = faces.map_batches(
         lambda tb: tb.filter(pc.equal(tb["kind"], 0)), batch_format="pyarrow"
     )
-    border = faces.map_batches(
-        lambda tb: tb.filter(pc.not_equal(tb["kind"], 0)), batch_format="pyarrow"
-    )
     # Adaptive ladder depth.  Every level below global is a pure
     # parallelization: pieces that miss each other early still meet at the
     # per-signature global groups (stages.StitchLocal docstring), so when
-    # the whole border subset is small each sort round is ~2 s of fixed
-    # all-to-all latency spent co-locating rows one map_batches could
-    # re-key — jump straight to the global level.  Above the threshold
-    # (GB-scale borders at 100 TB) the full ladder keeps per-group work
-    # and the universe network bounded.  Gate cheaply first: border is a
-    # subset of the materialized faces, so faces.size_bytes() (a metadata
-    # lookup, no execution) under the limit proves border is under it too
-    # — the common small case skips the border materialize entirely and
-    # the filter fuses into the final execution.
-    if (faces.size_bytes() or 0) > _SINGLE_STITCH_LIMIT:
-        border = border.materialize()
-    if (faces.size_bytes() or 0) <= _SINGLE_STITCH_LIMIT or (
-        border.size_bytes() or 0
-    ) <= _SINGLE_STITCH_LIMIT:
-        def to_global_key(tb: pa.Table) -> pa.Table:
-            keys = [
-                stages._default_esc_key(sorted(c or []), 0)
-                for c in tb["cov"].to_pylist()
-            ]
-            return tb.set_column(
-                tb.schema.get_field_index("stitch_key"),
-                "stitch_key",
-                pa.array(keys, pa.string()),
-            )
-
-        st = (
-            border.map_batches(to_global_key, batch_format="pyarrow")
-            .groupby("stitch_key")
-            .map_groups(stages.stitch_global, batch_format="pyarrow")
-        )
-        return interior.union(st)
+    # the whole border subset is small a distributed exchange is pure
+    # fixed cost — measured 2-5 s for an 8 MB groupby at 32 CPUs
+    # (aggregator actor spin-up + per-partition submit round trips; the
+    # sort path has the same floor), which dominated the headline's final
+    # execution.  Small borders therefore skip Ray Data's all-to-all
+    # entirely: pull the bounded border table to the driver (≤
+    # _SINGLE_STITCH_LIMIT by the gate), bucket rows by coverage-signature
+    # hash, and stitch each bucket as one plain Ray task
+    # (_stitch_border_fanout).  Above the threshold (GB-scale borders at
+    # 100 TB) the full ladder keeps per-group work and the universe
+    # network bounded.  Gate cheaply first: border is a subset of the
+    # materialized faces, so faces.size_bytes() (a metadata lookup, no
+    # execution) under the limit proves border is under it too — the
+    # common small case reuses the already-materialized face blocks and
+    # never runs a separate border execution.
+    if (faces.size_bytes() or 0) <= _SINGLE_STITCH_LIMIT:
+        tbls = [t for t in ray.get(faces.to_arrow_refs()) if t is not None and len(t)]
+        if not tbls:
+            return interior
+        whole = pa.concat_tables(tbls, promote_options="default")
+        border_tbl = whole.filter(pc.not_equal(whole["kind"], 0))
+        if len(border_tbl) == 0:
+            return interior
+        return interior.union(_stitch_border_fanout(border_tbl))
+    border = faces.map_batches(
+        lambda tb: tb.filter(pc.not_equal(tb["kind"], 0)), batch_format="pyarrow"
+    ).materialize()
+    if (border.size_bytes() or 0) <= _SINGLE_STITCH_LIMIT:
+        tbls = [t for t in ray.get(border.to_arrow_refs()) if t is not None and len(t)]
+        border_tbl = pa.concat_tables(tbls, promote_options="default") if tbls else None
+        if border_tbl is None or len(border_tbl) == 0:
+            return interior
+        return interior.union(_stitch_border_fanout(border_tbl))
     st = border.groupby("stitch_key").map_groups(
         stages.StitchLocal(mid_level), batch_format="pyarrow"
     )
@@ -155,8 +160,55 @@ def _stitch_levels(faces, mid_level):
 
 
 # border subsets under this size skip the local/mid stitch levels and
-# assemble in one per-signature global round (pure-optimization ladder)
+# assemble in one driver-bucketed fan-out round (pure-optimization ladder)
 _SINGLE_STITCH_LIMIT = 64 << 20
+
+
+def _stitch_bucket_task(tbl: pa.Table) -> pa.Table:
+    """One fan-out bucket of the small-border stitch (plain Ray task)."""
+    return stages.stitch_global(tbl)
+
+
+_stitch_bucket_remote = None  # lazily wrapped: ray.remote at first use
+
+
+def _stitch_border_fanout(border_tbl: pa.Table):
+    """Stitch a SMALL border set without a Ray Data all-to-all.
+
+    Every Ray Data exchange (hash or sort) has a multi-second fixed floor
+    at 32 CPUs — aggregator-actor spin-up plus per-partition submit round
+    trips, measured 2-5 s for an 8 MB groupby — which dominated the
+    headline's final execution at test scales and costs the same dead
+    seconds per run at any scale where the border is thin.  The global
+    stitch only needs all pieces of one coverage signature in the same
+    group (stages._assemble_bucket splits a group by signature
+    internally), so for a driver-bounded border table (caller gates at
+    _SINGLE_STITCH_LIMIT) hash-bucketing rows by signature on the driver
+    and running one plain Ray task per bucket is exactly equivalent —
+    and the tasks start immediately, overlapping the final execution
+    that consumes them via from_arrow_refs (no driver round trip for the
+    results)."""
+    import zlib
+
+    import ray
+
+    global _stitch_bucket_remote
+    if _stitch_bucket_remote is None:
+        _stitch_bucket_remote = ray.remote(num_cpus=1)(_stitch_bucket_task)
+    from ..rayctx import _cluster_cpus
+
+    n_tasks = max(1, min(_cluster_cpus(), len(border_tbl)))
+    covs = border_tbl["cov"].to_pylist()
+    buckets = np.empty(len(covs), dtype=np.int64)
+    for i, c in enumerate(covs):
+        sig = ",".join(map(str, sorted(c or [])))
+        buckets[i] = zlib.crc32(sig.encode()) % n_tasks
+    refs = []
+    for b in np.unique(buckets):
+        idx = np.flatnonzero(buckets == b)
+        sub = border_tbl.take(pa.array(idx, pa.int64()))
+        refs.append(_stitch_bucket_remote.remote(sub))
+    return rd.from_arrow_refs(refs)
 
 
 @hash_shuffled

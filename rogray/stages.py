@@ -132,6 +132,98 @@ def _stage_log(stage: str, key, n_in: int, n_out: int, sec: float) -> None:
         f.write(line + "\n")
 
 
+# ---------------------------------------------------------------------------
+# small-input groupby fan-out: skip the all-to-all when the grouped table
+# is driver-bounded
+# ---------------------------------------------------------------------------
+
+# grouped tables under this decoded size skip the Ray Data exchange and run
+# as plain per-bucket Ray tasks (every exchange — hash or sort — has a
+# multi-second fixed floor: aggregator actor spin-up + per-partition submit
+# round trips, measured 2-5 s for an 8 MB groupby at 32 CPUs)
+SMALL_FANOUT_LIMIT = 64 << 20
+
+_fanout_task_remote = None
+
+
+def _group_fanout_task(fn, tbl: pa.Table, key: str) -> pa.Table:
+    """Apply a per-group callable to every key-group inside one bucket."""
+    keys = tbl[key].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+    ends = np.concatenate([starts[1:], [len(ks)]])
+    outs = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        outs.append(fn(tbl.take(pa.array(order[s:e], pa.int64()))))
+    outs = [o for o in outs if o is not None]
+    return pa.concat_tables(outs, promote_options="default")
+
+
+def small_group_fanout(hint_ds, grouped, key: str, fn, limit: int | None = None):
+    """``grouped.groupby(key).map_groups(fn)`` without the all-to-all, for
+    driver-bounded inputs.
+
+    Returns ``(result_dataset_or_None, grouped_maybe_materialized)``: the
+    caller falls back to the real groupby (on the returned dataset, which
+    may already be materialized — no recompute) when the input fails the
+    gate.  Two-stage gate: ``hint_ds.size_bytes()`` (the pipeline input —
+    for parquet this is compressed on-disk size, a safe lower bound on
+    the decoded grouped table) pre-screens without executing anything;
+    only when it passes is ``grouped`` materialized and its true in-memory
+    size checked.  On the fan-out path the bounded table is pulled to the
+    driver once, groups are bin-packed by row count into ~2 buckets per
+    CPU (largest groups first, so the biggest tile starts first and never
+    shares a straggler bucket), and each bucket runs as one plain Ray
+    task via ``from_arrow_refs`` — scheduling starts immediately and
+    overlaps whatever execution consumes the result.  At 100 TB the gate
+    simply never passes and the hash-shuffle path runs unchanged."""
+    import ray
+    import ray.data as rd
+
+    if limit is None:
+        limit = SMALL_FANOUT_LIMIT  # read at call time: tests patch the module global
+    if (hint_ds.size_bytes() or limit + 1) > limit:
+        return None, grouped
+    grouped = grouped.materialize()
+    if (grouped.size_bytes() or limit + 1) > limit:
+        return None, grouped
+    tbls = [t for t in ray.get(grouped.to_arrow_refs()) if t is not None and len(t)]
+    if not tbls:
+        return None, grouped
+    whole = pa.concat_tables(tbls, promote_options="default")
+    keys = whole[key].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+    ends = np.concatenate([starts[1:], [len(ks)]])
+    sizes = ends - starts
+    by_size = np.argsort(-sizes, kind="stable")
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 0) or 0) or 8
+    except Exception:
+        ncpu = 8
+    n_bins = max(1, min(2 * ncpu, len(starts)))
+    bin_rows = np.zeros(n_bins, dtype=np.int64)
+    bin_groups: list[list[int]] = [[] for _ in range(n_bins)]
+    for g in by_size.tolist():
+        b = int(np.argmin(bin_rows))
+        bin_groups[b].append(g)
+        bin_rows[b] += sizes[g]
+    global _fanout_task_remote
+    if _fanout_task_remote is None:
+        _fanout_task_remote = ray.remote(num_cpus=1)(_group_fanout_task)
+    refs = []
+    for b in range(n_bins):
+        if not bin_groups[b]:
+            continue
+        idx = np.concatenate([order[starts[g]:ends[g]] for g in bin_groups[b]])
+        refs.append(
+            _fanout_task_remote.remote(fn, whole.take(pa.array(idx, pa.int64())), key)
+        )
+    return rd.from_arrow_refs(refs), grouped
+
+
 FACE_SCHEMA = pa.schema(
     [
         ("tile", pa.int64()),
