@@ -99,9 +99,13 @@ def find_overlap_gap(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | N
     t = cfg.topology
     unwrapped = ds.map_batches(stages.Unwrap(plan.grid), batch_format="pyarrow")
     routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
-    return routed.groupby("tile").map_groups(
-        TileDetect(plan.grid, t.utm), batch_format="pyarrow"
-    )
+    # small inputs skip the tile all-to-all (stages.small_group_fanout
+    # rationale); big inputs run the hash shuffle unchanged
+    worker = TileDetect(plan.grid, t.utm)
+    out, routed = stages.small_group_fanout(ds, routed, "tile", worker)
+    if out is not None:
+        return out
+    return routed.groupby("tile").map_groups(worker, batch_format="pyarrow")
 
 
 def _clip_seg_to_tile(
@@ -204,9 +208,11 @@ def coverage_depth(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | Non
     t = cfg.topology
     unwrapped = ds.map_batches(stages.Unwrap(plan.grid), batch_format="pyarrow")
     routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
-    return routed.groupby("tile").map_groups(
-        TileCoverageDepth(plan.grid, t.utm), batch_format="pyarrow"
-    )
+    worker = TileCoverageDepth(plan.grid, t.utm)
+    out, routed = stages.small_group_fanout(ds, routed, "tile", worker)
+    if out is not None:
+        return out
+    return routed.groupby("tile").map_groups(worker, batch_format="pyarrow")
 
 
 class TileEdges:
@@ -389,6 +395,8 @@ def extract_edges(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | None
     t = cfg.topology
     unwrapped = ds.map_batches(stages.Unwrap(plan.grid), batch_format="pyarrow")
     routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
-    return routed.groupby("tile").map_groups(
-        TileEdges(plan.grid, t.utm), batch_format="pyarrow"
-    )
+    worker = TileEdges(plan.grid, t.utm)
+    out, routed = stages.small_group_fanout(ds, routed, "tile", worker)
+    if out is not None:
+        return out
+    return routed.groupby("tile").map_groups(worker, batch_format="pyarrow")

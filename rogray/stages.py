@@ -169,7 +169,8 @@ def small_group_fanout(hint_ds, grouped, key: str, fn, limit: int | None = None)
     may already be materialized — no recompute) when the input fails the
     gate.  Two-stage gate: ``hint_ds.size_bytes()`` (the pipeline input —
     for parquet this is compressed on-disk size, a safe lower bound on
-    the decoded grouped table) pre-screens without executing anything;
+    the decoded grouped table; pass a list/tuple for multi-input
+    pipelines and the sizes sum) pre-screens without executing anything;
     only when it passes is ``grouped`` materialized and its true in-memory
     size checked.  On the fan-out path the bounded table is pulled to the
     driver once, groups are bin-packed by row count into ~2 buckets per
@@ -183,7 +184,8 @@ def small_group_fanout(hint_ds, grouped, key: str, fn, limit: int | None = None)
 
     if limit is None:
         limit = SMALL_FANOUT_LIMIT  # read at call time: tests patch the module global
-    if (hint_ds.size_bytes() or limit + 1) > limit:
+    hints = hint_ds if isinstance(hint_ds, (list, tuple)) else (hint_ds,)
+    if sum((h.size_bytes() or limit + 1) for h in hints) > limit:
         return None, grouped
     grouped = grouped.materialize()
     if (grouped.size_bytes() or limit + 1) > limit:

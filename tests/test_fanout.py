@@ -1,0 +1,145 @@
+"""small_group_fanout tests.
+
+The driver-bounded groupby bypass (stages.small_group_fanout and the
+border-stitch fan-out in pipelines/resolve) must be a pure optimization:
+identical results to the Ray Data all-to-all it replaces, on every call
+site, and a clean fallback when the size gate fails.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _make_sum_by_key():
+    # defined as a closure so cloudpickle ships it BY VALUE: the tests
+    # module is not importable inside Ray workers
+    def _sum_by_key(tbl: pa.Table) -> pa.Table:
+        key = tbl["k"][0].as_py()
+        return pa.table(
+            {
+                "k": pa.array([key], pa.int64()),
+                "s": pa.array([float(np.sum(tbl["v"].to_numpy()))], pa.float64()),
+                "n": pa.array([len(tbl)], pa.int64()),
+            }
+        )
+
+    return _sum_by_key
+
+
+def test_fanout_matches_groupby(ray_session):
+    import ray.data as rd
+
+    from rogray import stages
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 97, n), pa.int64()),
+            "v": pa.array(rng.standard_normal(n), pa.float64()),
+        }
+    )
+
+    fn = _make_sum_by_key()
+    out, _ = stages.small_group_fanout(rd.from_arrow(tbl), rd.from_arrow(tbl), "k", fn)
+    assert out is not None  # tiny input must take the fan-out path
+    mine = out.to_pandas().sort_values("k").reset_index(drop=True)
+
+    ref = (
+        rd.from_arrow(tbl)
+        .groupby("k")
+        .map_groups(fn, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(mine, ref)
+
+
+def test_fanout_gate_falls_back(ray_session):
+    import ray.data as rd
+
+    from rogray import stages
+
+    tbl = pa.table({"k": pa.array([1, 1, 2], pa.int64()), "v": pa.array([1.0, 2.0, 3.0])})
+    ds = rd.from_arrow(tbl)
+    fn = _make_sum_by_key()
+    out, grouped = stages.small_group_fanout(ds, ds, "k", fn, limit=0)
+    assert out is None
+    # the returned dataset is still usable by the fallback groupby
+    assert grouped.groupby("k").map_groups(fn, batch_format="pyarrow").count() == 2
+
+
+def test_fanout_hint_list_sums(ray_session):
+    import ray.data as rd
+
+    from rogray import stages
+
+    tbl = pa.table({"k": pa.array([1] * 100, pa.int64()), "v": pa.array([1.0] * 100)})
+    ds = rd.from_arrow(tbl)
+    one = ds.size_bytes()
+    # two hints, each under the limit, must be gated on their SUM
+    fn = _make_sum_by_key()
+    out, _ = stages.small_group_fanout([ds, ds], ds, "k", fn, limit=int(one * 1.5))
+    assert out is None
+    out, _ = stages.small_group_fanout([ds, ds], ds, "k", fn, limit=int(one * 10))
+    assert out is not None
+
+
+def test_resolve_paths_match(ray_session, monkeypatch):
+    """Forcing the hash-shuffle groupby + stitch ladder (gates zeroed) must
+    produce faces identical to the fan-out path on the same input."""
+    import ray.data as rd
+
+    import rogray.sources as sources
+    from rogray import stages
+    from rogray.config import ResolveConfig, TopologyConfig
+    from rogray.pipelines import resolve
+
+    docs_path = sources.docs_path_for(SF, 400)
+    cfg = ResolveConfig(
+        topology=TopologyConfig(
+            snap_tolerance=1e-5, max_rows_in_each_cell=200, base_level=2
+        )
+    )
+
+    def run():
+        df = resolve.resolve_overlap_gap(rd.read_parquet(docs_path), cfg).to_pandas()
+        df["wkb_hex"] = df["wkb"].map(lambda b: b.hex())
+        df["spans_n"] = df["spans"].map(len)
+        df = df.drop(columns=["spans", "wkb"])
+        return df.sort_values(["winner_pk", "tile", "wkb_hex"]).reset_index(drop=True)
+
+    fanout = run()
+    monkeypatch.setattr(stages, "SMALL_FANOUT_LIMIT", 0)
+    monkeypatch.setattr(resolve, "_SINGLE_STITCH_LIMIT", 0)
+    shuffled = run()
+    pd.testing.assert_frame_equal(fanout, shuffled)
+
+
+def test_detect_paths_match(ray_session, monkeypatch):
+    import ray.data as rd
+
+    import rogray.sources as sources
+    from rogray import stages
+    from rogray.config import ResolveConfig, TopologyConfig
+    from rogray.pipelines import detect
+
+    docs_path = sources.docs_path_for(SF, 300)
+    cfg = ResolveConfig(
+        topology=TopologyConfig(
+            snap_tolerance=1e-5, max_rows_in_each_cell=150, base_level=2
+        )
+    )
+
+    def run():
+        df = detect.find_overlap_gap(rd.read_parquet(docs_path), cfg).to_pandas()
+        return df.sort_values(["tile", "kind", "id1", "id2"]).reset_index(drop=True)
+
+    fanout = run()
+    monkeypatch.setattr(stages, "SMALL_FANOUT_LIMIT", 0)
+    shuffled = run()
+    pd.testing.assert_frame_equal(fanout, shuffled)
