@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from . import stages
+
 
 def duplicate_clusters(ds, threshold: float = 0.5, rounds: int = 64,
                        n_buckets: int | None = None,
@@ -94,17 +96,18 @@ def duplicate_clusters(ds, threshold: float = 0.5, rounds: int = 64,
             schema=label_schema,
         )
 
-    labels = (
-        edges_ds.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("b")
-        .map_groups(
-            lambda g: g.sort_values("node").groupby("node", as_index=False)["lbl"].min().assign(
-                b=lambda d: [zlib.crc32(str(x).encode()) % n_buckets for x in d["node"]]
-            ),
-            batch_format="pandas",
+    init_min = lambda g: (  # noqa: E731
+        g.sort_values("node").groupby("node", as_index=False)["lbl"].min().assign(
+            b=lambda d: [zlib.crc32(str(x).encode()) % n_buckets for x in d["node"]]
         )
-        .materialize()
     )
+    seed = edges_ds.map_batches(init_labels, batch_format="pyarrow")
+    labels, seed = stages.small_group_fanout(
+        edges_ds, seed, "b", init_min, batch_format="pandas"
+    )
+    if labels is None:
+        labels = seed.groupby("b").map_groups(init_min, batch_format="pandas")
+    labels = labels.materialize()
 
     def _label_fingerprint(lds) -> int:
         # order-independent multiset hash of (node, lbl); min-label
@@ -158,22 +161,36 @@ def duplicate_clusters(ds, threshold: float = 0.5, rounds: int = 64,
             # NB: messages land in the SENDER's bucket here; re-bucket by
             # receiver for the next grouping round
             both["b"] = [zlib.crc32(str(x).encode()) % n_buckets for x in both["node"]]
+            if pa.types.is_integer(id_type) and both["lbl"].dtype.kind == "f":
+                # the union table's null-padded lbl arrives as float64;
+                # post-min it is NaN-free — restore the id dtype so every
+                # group/bucket emits one stable schema
+                both["lbl"] = both["lbl"].astype(np.int64)
             return both[["b", "node", "lbl"]]
 
-        combined = (
-            labels.map_batches(msgs, batch_format="pyarrow")
-            .union(edges_ds.map_batches(edge_rows, batch_format="pyarrow"))
-            .groupby("b")
-            .map_groups(propagate, batch_format="pandas")
+        tagged = labels.map_batches(msgs, batch_format="pyarrow").union(
+            edges_ds.map_batches(edge_rows, batch_format="pyarrow")
         )
+        combined, tagged = stages.small_group_fanout(
+            [labels, edges_ds], tagged, "b", propagate, batch_format="pandas"
+        )
+        if combined is None:
+            combined = tagged.groupby("b").map_groups(
+                propagate, batch_format="pandas"
+            )
 
         # messages may target nodes in other buckets: one more min-combine
         def reduce_labels(g: pd.DataFrame) -> pd.DataFrame:
             return g.groupby("node", as_index=False).agg(b=("b", "first"), lbl=("lbl", "min"))[["b", "node", "lbl"]]
 
-        labels = (
-            combined.groupby("b").map_groups(reduce_labels, batch_format="pandas")
-        ).materialize()
+        reduced, combined = stages.small_group_fanout(
+            None, combined, "b", reduce_labels, batch_format="pandas"
+        )
+        if reduced is None:
+            reduced = combined.groupby("b").map_groups(
+                reduce_labels, batch_format="pandas"
+            )
+        labels = reduced.materialize()
 
         fp = _label_fingerprint(labels)
         if fp == prev_fp:  # fixpoint: no label changed this round

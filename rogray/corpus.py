@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from . import stages
+
 _TOKEN = re.compile(r"[a-z0-9]+")
 
 
@@ -103,14 +105,19 @@ def tfidf_top_terms(ds, k: int = 5):
         g["score_x1000"] = np.floor(1000.0 * g["score"] + 0.5).astype(np.int64)
         return g[["doc_id", "term", "tf", "df", "score_x1000", "rnk"]]
 
-    return (
-        tf_ds.map_batches(tag_term, batch_format="pyarrow")
-        .groupby("hb")
-        .map_groups(attach_df, batch_format="pandas")
-        .map_batches(tag_doc, batch_format="pyarrow")
-        .groupby("db")
-        .map_groups(topk, batch_format="pandas")
+    terms = tf_ds.map_batches(tag_term, batch_format="pyarrow")
+    withdf, terms = stages.small_group_fanout(
+        None, terms, "hb", attach_df, batch_format="pandas"
     )
+    if withdf is None:
+        withdf = terms.groupby("hb").map_groups(attach_df, batch_format="pandas")
+    docs = withdf.map_batches(tag_doc, batch_format="pyarrow")
+    out, docs = stages.small_group_fanout(
+        None, docs, "db", topk, batch_format="pandas"
+    )
+    if out is not None:
+        return out
+    return docs.groupby("db").map_groups(topk, batch_format="pandas")
 
 
 def tfidf_sql(k: int = 5) -> str:
@@ -220,13 +227,15 @@ def source_distinct_terms(ds):
             {"source": n.index.to_numpy(), "n_part": n.to_numpy().astype(np.int64)}
         )
 
-    agg = (
-        ds.map_batches(rows, batch_format="pyarrow")
-        .groupby("hb")
-        .map_groups(count_slice, batch_format="pandas")
-        .groupby("source")
-        .sum("n_part")
+    rowed = ds.map_batches(rows, batch_format="pyarrow")
+    sliced, rowed = stages.small_group_fanout(
+        ds, rowed, "hb", count_slice, batch_format="pandas"
     )
+    if sliced is None:
+        sliced = rowed.groupby("hb").map_groups(
+            count_slice, batch_format="pandas"
+        )
+    agg = sliced.groupby("source").sum("n_part")
 
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(["source", "n_distinct_terms"])
@@ -319,14 +328,19 @@ def unigram_logprob(ds):
             {"doc_id": np.int64, "n_tokens": np.int64, "logprob_x1000": np.int64}
         )
 
-    return (
-        tf_ds.map_batches(tag_term, batch_format="pyarrow")
-        .groupby("hb")
-        .map_groups(contrib, batch_format="pandas")
-        .map_batches(tag_doc, batch_format="pyarrow")
-        .groupby("db")
-        .map_groups(reduce_doc, batch_format="pandas")
+    terms = tf_ds.map_batches(tag_term, batch_format="pyarrow")
+    contribd, terms = stages.small_group_fanout(
+        None, terms, "hb", contrib, batch_format="pandas"
     )
+    if contribd is None:
+        contribd = terms.groupby("hb").map_groups(contrib, batch_format="pandas")
+    docs = contribd.map_batches(tag_doc, batch_format="pyarrow")
+    out, docs = stages.small_group_fanout(
+        None, docs, "db", reduce_doc, batch_format="pandas"
+    )
+    if out is not None:
+        return out
+    return docs.groupby("db").map_groups(reduce_doc, batch_format="pandas")
 
 
 def unigram_logprob_sql() -> str:
@@ -411,11 +425,13 @@ def source_distinct_terms_hll(ds):
             {"source": [g["source"].iloc[0]], "n_est": [int(round(est))]}
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("source")
-        .map_groups(merge, batch_format="pandas")
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    out, part = stages.small_group_fanout(
+        None, part, "source", merge, batch_format="pandas"
     )
+    if out is not None:
+        return out
+    return part.groupby("source").map_groups(merge, batch_format="pandas")
 
 
 def bigram_pmi(ds, k: int = 50, min_count: int = 5):
@@ -549,12 +565,15 @@ def bigram_pmi(ds, k: int = 50, min_count: int = 5):
             return out
 
         merge.__name__ = f"attach_{out_col}"
-        return (
-            cur.map_batches(tag_bi, batch_format="pyarrow")
-            .union(uni_ds.map_batches(tag_uni, batch_format="pyarrow"))
-            .groupby("wb")
-            .map_groups(merge, batch_format="pandas")
+        tagged = cur.map_batches(tag_bi, batch_format="pyarrow").union(
+            uni_ds.map_batches(tag_uni, batch_format="pyarrow")
         )
+        out, tagged = stages.small_group_fanout(
+            None, tagged, "wb", merge, batch_format="pandas"
+        )
+        if out is not None:
+            return out
+        return tagged.groupby("wb").map_groups(merge, batch_format="pandas")
 
     cur = _attach(bi_ds, "w1", "c_a")
     cur = _attach(cur, "w2", "c_b")
@@ -652,15 +671,16 @@ def inverted_index_stats(ds, min_df: int = 2, top_docs: int = 3):
         out = agg.merge(heads, on="term")
         return out[out["df"] >= min_df][["term", "df", "cf", "head_docs"]]
 
-    return (
-        ds.map_batches(_tf_rows, batch_format="pyarrow")
-        .map_batches(tag, batch_format="pyarrow")
-        .groupby("tb")
-        .map_groups(
-            lambda g: per_bucket(g.drop(columns=["tb"])), batch_format="pandas"
-        )
-        .sort("term")
+    fn = lambda g: per_bucket(g.drop(columns=["tb"]))  # noqa: E731
+    tagged = ds.map_batches(_tf_rows, batch_format="pyarrow").map_batches(
+        tag, batch_format="pyarrow"
     )
+    out, tagged = stages.small_group_fanout(
+        ds, tagged, "tb", fn, batch_format="pandas"
+    )
+    if out is None:
+        out = tagged.groupby("tb").map_groups(fn, batch_format="pandas")
+    return out.sort("term")
 
 
 def inverted_index_stats_sql(min_df: int = 2, top_docs: int = 3) -> str:

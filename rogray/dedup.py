@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from . import stages
+
 _MERSENNE = (1 << 61) - 1
 _NPERM = 64
 _BANDS = 16
@@ -80,11 +82,13 @@ def exact_dedup(ds, col: str = "text"):
         out = g.sort_values("doc_id").drop_duplicates(subset=[col], keep="first")
         return out[["doc_id"]]
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    out, hashed = stages.small_group_fanout(
+        ds, hashed, "h", keep_first, batch_format="pandas"
     )
+    if out is not None:
+        return out
+    return hashed.groupby("h").map_groups(keep_first, batch_format="pandas")
 
 
 def exact_dedup_sql() -> str:
@@ -134,9 +138,13 @@ def _n_buckets_for(n_rows: int) -> int:
     return int(min(100_003, max(67, n_rows // 4096 + 67)))
 
 
-def _dedup_pairs(pairs_ds, n_buckets: int = 199):
+def _dedup_pairs(pairs_ds, n_buckets: int = 199, hint=None):
     """Global (id_a, id_b) dedup via hash buckets — one vectorized
-    drop_duplicates per bucket instead of a map_groups group per pair."""
+    drop_duplicates per bucket instead of a map_groups group per pair.
+
+    ``hint`` is the known-bounded upstream for the small-input fan-out
+    gate (stages.small_group_fanout); None skips the pre-screen and
+    gates on the materialized pair table directly."""
 
     def tag(t: pa.Table) -> pa.Table:
         a = t["id_a"].cast(pa.string()).to_pylist()
@@ -147,11 +155,13 @@ def _dedup_pairs(pairs_ds, n_buckets: int = 199):
     def drop(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["pb"])
 
-    return (
-        pairs_ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(drop, batch_format="pandas")
+    tagged = pairs_ds.map_batches(tag, batch_format="pyarrow")
+    out, tagged = stages.small_group_fanout(
+        hint, tagged, "pb", drop, batch_format="pandas"
     )
+    if out is not None:
+        return out
+    return tagged.groupby("pb").map_groups(drop, batch_format="pandas")
 
 
 
@@ -227,12 +237,13 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
             out_b.extend(ids[jj].tolist())
         return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates()
 
-    cand = _dedup_pairs(
-        sigs_ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("gb")
-        .map_groups(band_pairs, batch_format="pandas"),
-        n_buckets=nb,
+    banded = sigs_ds.map_batches(band_rows, batch_format="pyarrow")
+    bp, banded = stages.small_group_fanout(
+        sigs_ds, banded, "gb", band_pairs, batch_format="pandas"
     )
+    if bp is None:
+        bp = banded.groupby("gb").map_groups(band_pairs, batch_format="pandas")
+    cand = _dedup_pairs(bp, n_buckets=nb, hint=sigs_ds)
     withAB = _attach_pair_blobs(cand, sigs_ds, id_type, blob_col="sig",
                                 n_buckets=nb)
 
@@ -397,14 +408,21 @@ def simhash_pairs(ds, col: str = "text", max_hamming: int = 3):
                 out_d.append(int(d[k]))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
 
-    cand = (
-        ds.map_batches(rows, batch_format="pyarrow")
-        .groupby(["blk", "key"])
-        .map_groups(pairs, batch_format="pandas")
+    rowed = ds.map_batches(rows, batch_format="pyarrow")
+    cand, rowed = stages.small_group_fanout(
+        ds, rowed, ["blk", "key"], pairs, batch_format="pandas"
     )
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    if cand is None:
+        cand = rowed.groupby(["blk", "key"]).map_groups(
+            pairs, batch_format="pandas"
+        )
+    head1 = lambda g: g.head(1)  # noqa: E731
+    out, cand = stages.small_group_fanout(
+        ds, cand, ["id_a", "id_b"], head1, batch_format="pandas"
     )
+    if out is not None:
+        return out
+    return cand.groupby(["id_a", "id_b"]).map_groups(head1, batch_format="pandas")
 
 
 def simhash_pairs_sql(max_hamming: int = 3) -> str:
@@ -491,11 +509,13 @@ def embedding_neardup_exact(ds, threshold: float = 0.4, n_blocks: int = 8):
             }
         )
 
-    return (
-        ds.map_batches(rows, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(pairs, batch_format="pandas")
+    rowed = ds.map_batches(rows, batch_format="pyarrow")
+    out, rowed = stages.small_group_fanout(
+        ds, rowed, "pair", pairs, batch_format="pandas"
     )
+    if out is not None:
+        return out
+    return rowed.groupby("pair").map_groups(pairs, batch_format="pandas")
 
 
 _EMB_BANDS = 4
@@ -568,15 +588,18 @@ def embedding_neardup_pairs(ds, threshold: float = 0.4):
             }
         )
 
-    cand = (
-        ds.map_batches(rows, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(pairs, batch_format="pandas")
+    rowed = ds.map_batches(rows, batch_format="pyarrow")
+    cand, rowed = stages.small_group_fanout(
+        ds, rowed, ["band", "key"], pairs, batch_format="pandas"
     )
+    if cand is None:
+        cand = rowed.groupby(["band", "key"]).map_groups(
+            pairs, batch_format="pandas"
+        )
     # cross-band dedup: sim_x1000 is identical for every band's copy of a
     # pair (same two float64 vectors -> same BLAS dot), so keeping an
     # arbitrary first per (id_a, id_b) bucket is deterministic
-    deduped = _dedup_pairs(cand, n_buckets=67)
+    deduped = _dedup_pairs(cand, n_buckets=67, hint=ds)
 
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(["vec_id_a", "vec_id_b", "sim_x1000"])
@@ -996,13 +1019,17 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
             out_b.extend(ids[jj[ok]].tolist())
         return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates()
 
-    cand = _dedup_pairs(
-        grams_ds.map_batches(prefix_rows, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("gb")
-        .map_groups(candidates, batch_format="pandas"),
-        n_buckets=nb,
+    prefixed = grams_ds.map_batches(
+        prefix_rows, batch_format="pyarrow"
+    ).map_batches(add_bucket, batch_format="pyarrow")
+    cands, prefixed = stages.small_group_fanout(
+        grams_ds, prefixed, "gb", candidates, batch_format="pandas"
     )
+    if cands is None:
+        cands = prefixed.groupby("gb").map_groups(
+            candidates, batch_format="pandas"
+        )
+    cand = _dedup_pairs(cands, n_buckets=nb, hint=grams_ds)
 
     withAB = _attach_pair_blobs(cand, grams_ds, grams_schema.field("doc_id").type,
                                 n_buckets=nb)
@@ -1131,13 +1158,18 @@ def substring_dedup_pairs(ds, gram_len: int = 50, max_df: int = 100,
         out["n_shared"] = out["n_shared"].astype("int64")
         return out[["id_a", "id_b", "n_shared"]]
 
-    return (
-        ds.map_batches(gram_rows, batch_format="pyarrow")
-        .groupby("gb")
-        .map_groups(gram_pairs, batch_format="pandas")
-        .groupby("pb")
-        .map_groups(count_shared, batch_format="pandas")
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow")
+    gp, grams = stages.small_group_fanout(
+        ds, grams, "gb", gram_pairs, batch_format="pandas"
     )
+    if gp is None:
+        gp = grams.groupby("gb").map_groups(gram_pairs, batch_format="pandas")
+    out, gp = stages.small_group_fanout(
+        ds, gp, "pb", count_shared, batch_format="pandas"
+    )
+    if out is not None:
+        return out
+    return gp.groupby("pb").map_groups(count_shared, batch_format="pandas")
 
 
 def substring_dedup_sql(gram_len: int = 50, max_df: int = 100) -> str:

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from . import stages
 import pyarrow.compute as pc
 
 
@@ -130,12 +132,15 @@ def bucket_join(
         )
 
     join_bucket.__name__ = f"join_{how}"
-    return (
-        left_ds.map_batches(_tagger(left_on, False), batch_format="pyarrow")
-        .union(right_ds.map_batches(_tagger(right_on, True), batch_format="pyarrow"))
-        .groupby("bkt")
-        .map_groups(join_bucket, batch_format="pyarrow")
+    tagged = left_ds.map_batches(_tagger(left_on, False), batch_format="pyarrow").union(
+        right_ds.map_batches(_tagger(right_on, True), batch_format="pyarrow")
     )
+    out, tagged = stages.small_group_fanout(
+        [left_ds, right_ds], tagged, "bkt", join_bucket
+    )
+    if out is not None:
+        return out
+    return tagged.groupby("bkt").map_groups(join_bucket, batch_format="pyarrow")
 
 # ---------------------------------------------------------------------------
 # join-heavy pipelines with exact DuckDB oracles (TPC-H Q3/Q4/Q10 shapes)

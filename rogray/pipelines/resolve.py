@@ -730,13 +730,13 @@ def resolve_overlap_gap_resumable(
         routed = routed.map_batches(drop_done, batch_format="pyarrow")
     routed = routed.union(rd.from_arrow(_marker_table(plan, exclude=done)))
     coarse_level = _coarse_level(plan, t.base_level)
-    pending = routed.groupby("tile").map_groups(
-        _TileOverlayWriter(
-            grid, t.utm, cfg.clean.min_area_to_keep, coarse_level, out_dir, fp,
-            clean=cfg.clean,
-        ),
-        batch_format="pyarrow",
+    writer = _TileOverlayWriter(
+        grid, t.utm, cfg.clean.min_area_to_keep, coarse_level, out_dir, fp,
+        clean=cfg.clean,
     )
+    pending, routed = stages.small_group_fanout(ds, routed, "tile", writer)
+    if pending is None:
+        pending = routed.groupby("tile").map_groups(writer, batch_format="pyarrow")
     pending.count()  # drive the checkpointing pass
 
     faces = manifest.read_all(out_dir)
@@ -963,12 +963,13 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
         )
         return df[["ua", "ub", "sa", "sb_", "seg_len"]]
 
-    edges = (
-        base.map_batches(seg_rows, batch_format="pyarrow")
-        .groupby("sb")
-        .map_groups(edge_rows, batch_format="pandas")
-        .materialize()
+    segd = base.map_batches(seg_rows, batch_format="pyarrow")
+    edges, segd = stages.small_group_fanout(
+        base, segd, "sb", edge_rows, batch_format="pandas"
     )
+    if edges is None:
+        edges = segd.groupby("sb").map_groups(edge_rows, batch_format="pandas")
+    edges = edges.materialize()
 
     import zlib as _zlib
 
@@ -1129,12 +1130,15 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
                 "seg_len": pa.array(out_ln, pa.float64()),
             })
 
-        targets_ds = (
-            edges.map_batches(relabel, batch_format="pyarrow")
-            .groupby("tb")
-            .map_groups(choose_targets, batch_format="pandas")
-            .materialize()
+        relabeled = edges.map_batches(relabel, batch_format="pyarrow")
+        targets_ds, relabeled = stages.small_group_fanout(
+            edges, relabeled, "tb", choose_targets, batch_format="pandas"
         )
+        if targets_ds is None:
+            targets_ds = relabeled.groupby("tb").map_groups(
+                choose_targets, batch_format="pandas"
+            )
+        targets_ds = targets_ds.materialize()
         # ENFORCED driver-pull bound (one row per surviving small face is
         # output-sized on an adversarial everything-is-small layer): over
         # the cap, merge only the deterministically-first cap targets this
@@ -1217,15 +1221,20 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
             mk = [tm.get(u, u) for u in t["uid"].to_pylist()]
             return t.append_column("merge_key", pa.array(mk, pa.string()))
 
-        merged_new = (
-            live_faces().map_batches(pick, batch_format="pyarrow")
-            # pick keeps only merge-involved faces (tiny); coalesce so the
-            # merge-key sort is not O(source_blocks^2) in shuffle objects
-            .repartition(int(_ray.cluster_resources().get("CPU", 32)) * 2)
-            .groupby("merge_key")
-            .map_groups(merge_group, batch_format="pyarrow")
-            .materialize()  # tiny: one row per merge group
+        picked = live_faces().map_batches(pick, batch_format="pyarrow")
+        # pick keeps only merge-involved faces (tiny)
+        merged_new, picked = stages.small_group_fanout(
+            None, picked, "merge_key", merge_group
         )
+        if merged_new is None:
+            # coalesce so the merge-key sort is not O(source_blocks^2) in
+            # shuffle objects
+            merged_new = (
+                picked.repartition(int(_ray.cluster_resources().get("CPU", 32)) * 2)
+                .groupby("merge_key")
+                .map_groups(merge_group, batch_format="pyarrow")
+            )
+        merged_new = merged_new.materialize()  # tiny: one row per merge group
         # driver pull of (merge_key, uid, small) — merged-output-sized only
         info = merged_new.select_columns(["merge_key", "uid", "small"]).take_all()
         new_of = {r["merge_key"]: (r["uid"], bool(r["small"])) for r in info}

@@ -13,6 +13,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from . import stages
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -53,11 +55,15 @@ def brute_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10):
         g["sim_x1000"] = np.floor(g["sim"] * 1000 + 0.5).astype(np.int64)
         return g[["query_id", "vec_id", "sim_x1000"]]
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(reduce_group, batch_format="pandas")
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    # hint=None: the per-block partial top-k is a reduction (Q x k rows
+    # per block), bounded regardless of corpus size
+    out, part = stages.small_group_fanout(
+        None, part, "query_id", reduce_group, batch_format="pandas"
     )
+    if out is not None:
+        return out
+    return part.groupby("query_id").map_groups(reduce_group, batch_format="pandas")
 
 
 def brute_topk_sql(query_ids: list[int], k: int = 10) -> str:
@@ -163,10 +169,19 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10,
         g["sim_x1000"] = np.floor(g["sim"] * 1000 + 0.5).astype(np.int64)
         return g[["query_id", "vec_id", "sim_x1000"]]
 
-    return (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(scan, batch_format="pandas")
-        .groupby("query_id")
-        .map_groups(reduce_group, batch_format="pandas")
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow")
+    scanned, bucketed = stages.small_group_fanout(
+        ds, bucketed, "bucket", scan, batch_format="pandas"
+    )
+    if scanned is None:
+        scanned = bucketed.groupby("bucket").map_groups(
+            scan, batch_format="pandas"
+        )
+    out, scanned = stages.small_group_fanout(
+        None, scanned, "query_id", reduce_group, batch_format="pandas"
+    )
+    if out is not None:
+        return out
+    return scanned.groupby("query_id").map_groups(
+        reduce_group, batch_format="pandas"
     )

@@ -146,21 +146,63 @@ SMALL_FANOUT_LIMIT = 64 << 20
 _fanout_task_remote = None
 
 
-def _group_fanout_task(fn, tbl: pa.Table, key: str) -> pa.Table:
+def _group_fanout_task(fn, tbl: pa.Table, keys, batch_format: str) -> pa.Table:
     """Apply a per-group callable to every key-group inside one bucket."""
-    keys = tbl[key].to_numpy(zero_copy_only=False)
-    order = np.argsort(keys, kind="stable")
-    ks = keys[order]
-    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
-    ends = np.concatenate([starts[1:], [len(ks)]])
+    starts, ends, order = _group_runs(tbl, keys)
     outs = []
     for s, e in zip(starts.tolist(), ends.tolist()):
-        outs.append(fn(tbl.take(pa.array(order[s:e], pa.int64()))))
-    outs = [o for o in outs if o is not None]
+        sub = tbl.take(pa.array(order[s:e], pa.int64()))
+        if batch_format == "pandas":
+            # empties dropped: a column-typed empty frame arrow-casts to
+            # null types and would poison the concat schema
+            r = fn(sub.to_pandas())
+            if r is not None and len(r):
+                outs.append(r)
+        else:
+            # pyarrow fns own their schema: keep 0-row tables so the
+            # streaming from_arrow_refs path always has a typed block
+            r = fn(sub)
+            if r is not None:
+                outs.append(r)
+    if not outs:
+        return None
+    if batch_format == "pandas":
+        # one pandas concat, then one Arrow conversion: pandas unifies
+        # per-group dtype drift (e.g. int64 upcast to float64 only in the
+        # groups whose Arrow input carried nulls) exactly the way the
+        # map_groups pandas-block path does
+        import pandas as pd
+
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True), preserve_index=False
+        )
     return pa.concat_tables(outs, promote_options="default")
 
 
-def small_group_fanout(hint_ds, grouped, key: str, fn, limit: int | None = None):
+def _group_runs(tbl: pa.Table, keys) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(starts, ends, order): contiguous key-group runs of a sorted view.
+
+    Single int/float key: one argsort.  Multi-column (or string) keys:
+    pandas ``ngroup`` codes (exact, hash-free) then the same run split."""
+    if isinstance(keys, str):
+        keys = [keys]
+    if len(keys) == 1 and pa.types.is_integer(tbl.schema.field(keys[0]).type):
+        codes = tbl[keys[0]].to_numpy(zero_copy_only=False)
+    else:
+        import pandas as pd  # noqa: F401  (to_pandas needs it anyway)
+
+        kdf = tbl.select(keys).to_pandas()
+        codes = kdf.groupby(keys, sort=False).ngroup().to_numpy()
+    order = np.argsort(codes, kind="stable")
+    ks = codes[order]
+    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+    ends = np.concatenate([starts[1:], [len(ks)]])
+    return starts, ends, order
+
+
+def small_group_fanout(
+    hint_ds, grouped, key, fn, limit: int | None = None, batch_format: str = "pyarrow"
+):
     """``grouped.groupby(key).map_groups(fn)`` without the all-to-all, for
     driver-bounded inputs.
 
@@ -170,9 +212,16 @@ def small_group_fanout(hint_ds, grouped, key: str, fn, limit: int | None = None)
     gate.  Two-stage gate: ``hint_ds.size_bytes()`` (the pipeline input —
     for parquet this is compressed on-disk size, a safe lower bound on
     the decoded grouped table; pass a list/tuple for multi-input
-    pipelines and the sizes sum) pre-screens without executing anything;
-    only when it passes is ``grouped`` materialized and its true in-memory
-    size checked.  On the fan-out path the bounded table is pulled to the
+    pipelines and the sizes sum, or ``None`` when the direct upstream is
+    already known-bounded) pre-screens without executing anything; only
+    when it passes is ``grouped`` materialized and its true in-memory
+    size checked.  ``key`` may be one column name or a list (exact
+    multi-key groups via pandas ``ngroup`` codes).  ``batch_format``
+    mirrors ``map_groups``: pyarrow fns stream task outputs through
+    ``from_arrow_refs`` (results never touch the driver); pandas fns
+    gather their (small, aggregate-shaped) outputs and re-emit one Arrow
+    block — empty frames are dropped so mixed empty/non-empty buckets
+    cannot poison the unified schema.  On the fan-out path the bounded table is pulled to the
     driver once, groups are bin-packed by row count into ~2 buckets per
     CPU (largest groups first, so the biggest tile starts first and never
     shares a straggler bucket), and each bucket runs as one plain Ray
@@ -184,9 +233,12 @@ def small_group_fanout(hint_ds, grouped, key: str, fn, limit: int | None = None)
 
     if limit is None:
         limit = SMALL_FANOUT_LIMIT  # read at call time: tests patch the module global
-    hints = hint_ds if isinstance(hint_ds, (list, tuple)) else (hint_ds,)
-    if sum((h.size_bytes() or limit + 1) for h in hints) > limit:
+    if limit <= 0:
         return None, grouped
+    if hint_ds is not None:
+        hints = hint_ds if isinstance(hint_ds, (list, tuple)) else (hint_ds,)
+        if sum((h.size_bytes() or limit + 1) for h in hints) > limit:
+            return None, grouped
     grouped = grouped.materialize()
     if (grouped.size_bytes() or limit + 1) > limit:
         return None, grouped
@@ -194,11 +246,7 @@ def small_group_fanout(hint_ds, grouped, key: str, fn, limit: int | None = None)
     if not tbls:
         return None, grouped
     whole = pa.concat_tables(tbls, promote_options="default")
-    keys = whole[key].to_numpy(zero_copy_only=False)
-    order = np.argsort(keys, kind="stable")
-    ks = keys[order]
-    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
-    ends = np.concatenate([starts[1:], [len(ks)]])
+    starts, ends, order = _group_runs(whole, key)
     sizes = ends - starts
     by_size = np.argsort(-sizes, kind="stable")
     try:
@@ -221,8 +269,24 @@ def small_group_fanout(hint_ds, grouped, key: str, fn, limit: int | None = None)
             continue
         idx = np.concatenate([order[starts[g]:ends[g]] for g in bin_groups[b]])
         refs.append(
-            _fanout_task_remote.remote(fn, whole.take(pa.array(idx, pa.int64())), key)
+            _fanout_task_remote.remote(
+                fn, whole.take(pa.array(idx, pa.int64())), key, batch_format
+            )
         )
+    if batch_format == "pandas":
+        outs = [t for t in ray.get(refs) if t is not None and len(t)]
+        if not outs:
+            return None, grouped  # all-empty: the tiny fallback groupby owns schema
+        # permissive: tasks may disagree on numeric width (pandas NaN
+        # upcast in some buckets only) — same unification to_pandas would do
+        unified = pa.concat_tables(outs, promote_options="permissive")
+        # re-slice into ~one block per task: a single giant block would
+        # serialize every downstream map stage (measured 2.5x on the
+        # ngram-jaccard attach+verify chain)
+        n_out = max(1, min(len(refs), len(unified)))
+        step = -(-len(unified) // n_out)
+        slices = [unified.slice(i, step) for i in range(0, len(unified), step)]
+        return rd.from_arrow(slices), grouped
     return rd.from_arrow_refs(refs), grouped
 
 

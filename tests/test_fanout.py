@@ -143,3 +143,23 @@ def test_detect_paths_match(ray_session, monkeypatch):
     monkeypatch.setattr(stages, "SMALL_FANOUT_LIMIT", 0)
     shuffled = run()
     pd.testing.assert_frame_equal(fanout, shuffled)
+
+
+def test_dedup_paths_match(ray_session, monkeypatch):
+    """The pandas-format fan-out (minhash banding, pair dedup, verify
+    chain) must equal the hash-shuffle groupby chain pair for pair."""
+    import ray.data as rd
+
+    from rogray import dedup, stages
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+
+    def run():
+        df = dedup.minhash_lsh_pairs(docs).to_pandas()
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    fanout = run()
+    monkeypatch.setattr(stages, "SMALL_FANOUT_LIMIT", 0)
+    shuffled = run()
+    pd.testing.assert_frame_equal(fanout, shuffled)
+    assert len(fanout) > 0
