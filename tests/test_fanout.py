@@ -163,3 +163,51 @@ def test_dedup_paths_match(ray_session, monkeypatch):
     shuffled = run()
     pd.testing.assert_frame_equal(fanout, shuffled)
     assert len(fanout) > 0
+
+
+def test_pandas_fanout_multikey_dtype_drift_and_blocks(ray_session):
+    """The pandas-format fan-out: exact multi-column key groups, per-group
+    int64->float64 NaN-upcast drift unified (not an Arrow concat error),
+    and the gathered result re-sliced into multiple blocks so downstream
+    stages keep their parallelism."""
+    import ray.data as rd
+
+    from rogray import stages
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    tbl = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 13, n), pa.int64()),
+            "b": pa.array([f"s{int(x)}" for x in rng.integers(0, 7, n)]),
+            # nulls only in SOME groups: those groups' pandas view upcasts
+            # v to float64 while null-free groups keep int64
+            "v": pa.array(
+                [None if (i % 19 == 0 and i % 2 == 0) else int(i) for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False)["v"].min()
+        return out[out["v"].notna()]
+
+    src = rd.from_arrow(tbl)
+    out, _ = stages.small_group_fanout(
+        src, src, ["a", "b"], agg, batch_format="pandas"
+    )
+    assert out is not None
+    assert out.num_blocks() > 1  # re-sliced: never one giant block
+    mine = out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    ref = (
+        rd.from_arrow(tbl)
+        .groupby(["a", "b"])
+        .map_groups(agg, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        mine.astype({"v": "float64"}), ref.astype({"v": "float64"})
+    )
