@@ -17,9 +17,9 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import stages
-import pyarrow.compute as pc
 
 
 def _null_array(n: int, typ: pa.DataType) -> pa.Array:

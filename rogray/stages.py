@@ -183,7 +183,11 @@ def _group_runs(tbl: pa.Table, keys) -> tuple[np.ndarray, np.ndarray, np.ndarray
     """(starts, ends, order): contiguous key-group runs of a sorted view.
 
     Single int/float key: one argsort.  Multi-column (or string) keys:
-    pandas ``ngroup`` codes (exact, hash-free) then the same run split."""
+    pandas ``ngroup`` codes (exact, hash-free) then the same run split.
+
+    Keys must be NON-NULL (every call site computes them: crc32 buckets,
+    tile ids, pair ids).  A null key would split into per-row groups here
+    (NaN != NaN) while Ray's groupby makes one null group."""
     if isinstance(keys, str):
         keys = [keys]
     if len(keys) == 1 and pa.types.is_integer(tbl.schema.field(keys[0]).type):
