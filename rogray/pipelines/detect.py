@@ -24,7 +24,7 @@ from ..config import GridConfig, ResolveConfig
 from ..geom import arrangement, core
 from ..rayctx import hash_shuffled
 from ..tiling import quadkey
-from .resolve import ResolvePlan, prepare
+from .resolve import ResolvePlan, prepare, routed_table_from_refs, tile_apply
 
 
 class TileDetect:
@@ -95,13 +95,19 @@ class TileDetect:
 def find_overlap_gap(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | None = None):
     """documents Dataset -> per-tile overlap/gap report Dataset."""
     cfg = cfg or ResolveConfig()
-    plan = plan or prepare(ds, cfg)
+    input_refs, ds = stages.small_input_refs(ds)
+    plan = plan or prepare(ds, cfg, input_refs=input_refs)
     t = cfg.topology
+    worker = TileDetect(plan.grid, t.utm)
+    if input_refs:
+        # driver-bounded layer: plain-task front end (resolve.prepare note)
+        whole = routed_table_from_refs(input_refs, plan)
+        if whole is not None:
+            return tile_apply(whole, worker)
     unwrapped = ds.map_batches(stages.Unwrap(plan.grid), batch_format="pyarrow")
     routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
     # small inputs skip the tile all-to-all (stages.small_group_fanout
     # rationale); big inputs run the hash shuffle unchanged
-    worker = TileDetect(plan.grid, t.utm)
     out, routed = stages.small_group_fanout(ds, routed, "tile", worker)
     if out is not None:
         return out
@@ -204,11 +210,16 @@ class TileCoverageDepth:
 def coverage_depth(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | None = None):
     """documents Dataset -> per-tile (depth, area) coverage histogram."""
     cfg = cfg or ResolveConfig()
-    plan = plan or prepare(ds, cfg)
+    input_refs, ds = stages.small_input_refs(ds)
+    plan = plan or prepare(ds, cfg, input_refs=input_refs)
     t = cfg.topology
+    worker = TileCoverageDepth(plan.grid, t.utm)
+    if input_refs:
+        whole = routed_table_from_refs(input_refs, plan)
+        if whole is not None:
+            return tile_apply(whole, worker)
     unwrapped = ds.map_batches(stages.Unwrap(plan.grid), batch_format="pyarrow")
     routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
-    worker = TileCoverageDepth(plan.grid, t.utm)
     out, routed = stages.small_group_fanout(ds, routed, "tile", worker)
     if out is not None:
         return out
@@ -391,11 +402,16 @@ def extract_edges(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | None
     for free: labels carry the source pks through the noding.
     """
     cfg = cfg or ResolveConfig()
-    plan = plan or prepare(ds, cfg)
+    input_refs, ds = stages.small_input_refs(ds)
+    plan = plan or prepare(ds, cfg, input_refs=input_refs)
     t = cfg.topology
+    worker = TileEdges(plan.grid, t.utm)
+    if input_refs:
+        whole = routed_table_from_refs(input_refs, plan)
+        if whole is not None:
+            return tile_apply(whole, worker)
     unwrapped = ds.map_batches(stages.Unwrap(plan.grid), batch_format="pyarrow")
     routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
-    worker = TileEdges(plan.grid, t.utm)
     out, routed = stages.small_group_fanout(ds, routed, "tile", worker)
     if out is not None:
         return out

@@ -37,54 +37,123 @@ class ResolvePlan:
     num_tiles: int
 
 
-def prepare(ds, cfg: ResolveConfig) -> ResolvePlan:
+def prepare(ds, cfg: ResolveConfig, input_refs=None) -> ResolvePlan:
     """Init stage (analogue of resolve_overlap_gap_init, init.sql:4-293):
-    global snap grid from the data extent + content-balanced tile cut."""
+    global snap grid from the data extent + content-balanced tile cut.
+
+    ``input_refs`` (from :func:`stages.small_input_refs`, driver-bounded
+    layers only) replaces the extent/histogram Ray Data executions with
+    plain-task waves — each execution carries a 1-2.5 s fixed floor at
+    32 CPUs that dwarfs the actual scan work at test scales."""
     t = cfg.topology
     if t.utm:
-        mnx, mny, mxx, mxy = stages.extent_of_docs(ds)
+        mnx, mny, mxx, mxy = stages.extent_of_docs(ds, input_refs=input_refs)
         grid = stages.grid_from_extent(mnx, mny, mxx, mxy, t.snap_tolerance)
     else:
         # lon/lat: fixed world frame, no extent pass needed
         grid = stages.world_grid(t.snap_tolerance)
-    cut = stages.compute_cut(
-        ds,
-        grid,
-        t.base_level,
-        t.base_level + t.histogram_extra_levels,
-        t.max_rows_in_each_cell,
-    )
+    if input_refs:
+        cut = stages.cut_from_refs(
+            input_refs,
+            grid,
+            t.base_level,
+            t.base_level + t.histogram_extra_levels,
+            t.max_rows_in_each_cell,
+        )
+    else:
+        cut = stages.compute_cut(
+            ds,
+            grid,
+            t.base_level,
+            t.base_level + t.histogram_extra_levels,
+            t.max_rows_in_each_cell,
+        )
     return ResolvePlan(grid, cut, len(cut.leaves))
 
 
+def routed_table_from_refs(input_refs, plan: ResolvePlan):
+    """unwrap+route as one plain-task wave over driver-bounded input block
+    refs; returns the routed ``pa.Table`` on the driver (exactly where the
+    group fan-out pulls it anyway) or None when the layer is empty.  Saves
+    the front Ray Data execution's fixed floor (~2.4 s wall at sf0.1 for
+    2.9 CPU·s of unwrap+route work, measured)."""
+    import ray
+
+    fn = stages.Compose(stages.Unwrap(plan.grid), stages.Route(plan.cut))
+    outs = [
+        t
+        for t in ray.get(stages.block_map_refs(input_refs, fn))
+        if t is not None and len(t)
+    ]
+    if not outs:
+        return None
+    return pa.concat_tables(outs, promote_options="default")
+
+
+def tile_apply(whole: pa.Table, worker):
+    """Per-tile worker over a driver-resident routed table: group fan-out
+    normally; when routing inflated the table past 4x the fan-out gate
+    (heavy multi-tile duplication — rare, since the INPUT passed the gate)
+    re-emit it as blocks and run the real groupby, no recompute."""
+    if whole.nbytes <= 4 * stages.SMALL_FANOUT_LIMIT:
+        return stages.group_fanout_table(whole, "tile", worker)
+    n = max(1, min(64, len(whole)))
+    step = -(-len(whole) // n)
+    # combine_chunks per slice: a zero-copy slice would pickle its parent's
+    # full buffers into every block
+    slices = [
+        whole.slice(i, step).combine_chunks() for i in range(0, len(whole), step)
+    ]
+    return rd.from_arrow(slices).groupby("tile").map_groups(
+        worker, batch_format="pyarrow"
+    )
+
+
 @hash_shuffled
-def stitched_faces(ds, cfg: ResolveConfig, plan: ResolvePlan):
+def stitched_faces(ds, cfg: ResolveConfig, plan: ResolvePlan, input_refs=None):
     """The resolved face set BEFORE attribute finalization: one row per
     output face with exact px rings, coverage set, winner/others, area2.
     Shared by resolve_overlap_gap and the AR5 attribute-table mode."""
     t = cfg.topology
     grid = plan.grid
-    # stateless task stages (no reserved actors -> shuffles never starve)
-    unwrapped = ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
-    routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
-    # leaf markers: every tile of the partition emits its faces even when
-    # it holds no data (gaps spanning empty tiles, exact universe frontier)
-    routed = routed.union(rd.from_arrow(_marker_table(plan)))
     coarse_level = _coarse_level(plan, t.base_level)
     overlay = stages.TileOverlay(
         grid, t.utm, cfg.clean.min_area_to_keep, coarse_level, clean=cfg.clean
     )
-    # small inputs skip the tile all-to-all entirely: bin-packed per-tile
-    # plain Ray tasks (stages.small_group_fanout — the exchange's fixed
-    # floor and 64-partition bin packing cost more than the overlay
-    # itself at test scales); big inputs run the hash shuffle unchanged.
-    # Task-pool stage either way: the overlay needs no per-actor state
-    # (all state is per tile group), and task pools release CPUs the
-    # moment the dataset finishes - actor pools were observed pinning
-    # CPUs after execution, starving later pipelines in the same session
-    faces, routed = stages.small_group_fanout(ds, routed, "tile", overlay)
+    faces = None
+    if input_refs:
+        # driver-bounded layer: unwrap+route as one plain-task wave, then
+        # the group fan-out — zero Ray Data executions on the front end
+        whole = routed_table_from_refs(input_refs, plan)
+        mk = _marker_table(plan)
+        if whole is not None:
+            # markers carry the routed schema (they union today); align
+            # field order for the positional concat
+            whole = pa.concat_tables(
+                [whole, mk.select(whole.column_names)],
+                promote_options="permissive",
+            )
+        else:
+            whole = mk
+        faces = tile_apply(whole, overlay)
     if faces is None:
-        faces = routed.groupby("tile").map_groups(overlay, batch_format="pyarrow")
+        # stateless task stages (no reserved actors -> shuffles never starve)
+        unwrapped = ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
+        routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
+        # leaf markers: every tile of the partition emits its faces even when
+        # it holds no data (gaps spanning empty tiles, exact universe frontier)
+        routed = routed.union(rd.from_arrow(_marker_table(plan)))
+        # small inputs skip the tile all-to-all entirely: bin-packed per-tile
+        # plain Ray tasks (stages.small_group_fanout — the exchange's fixed
+        # floor and 64-partition bin packing cost more than the overlay
+        # itself at test scales); big inputs run the hash shuffle unchanged.
+        # Task-pool stage either way: the overlay needs no per-actor state
+        # (all state is per tile group), and task pools release CPUs the
+        # moment the dataset finishes - actor pools were observed pinning
+        # CPUs after execution, starving later pipelines in the same session
+        faces, routed = stages.small_group_fanout(ds, routed, "tile", overlay)
+        if faces is None:
+            faces = routed.groupby("tile").map_groups(overlay, batch_format="pyarrow")
     return _stitch_levels(faces, _mid_level(coarse_level))
 
 
@@ -229,11 +298,16 @@ def resolve_overlap_gap(
     moment the stage drains.
     """
     cfg = cfg or ResolveConfig()
+    # driver-bounded layers take the plain-task front end (read once, then
+    # extent/histogram/unwrap/route as task waves — no Ray Data execution
+    # floors); at scale the gate pre-screen fails on metadata and the
+    # streaming path below runs unchanged
+    input_refs, ds = stages.small_input_refs(ds)
     # the broadcast doc payload is independent of every geometry stage, so
     # its materialization overlaps the histogram + overlay executions
     slim_fut = _slim_prefetch(ds)
-    plan = plan or prepare(ds, cfg)
-    stitched = stitched_faces(ds, cfg, plan)
+    plan = plan or prepare(ds, cfg, input_refs=input_refs)
+    stitched = stitched_faces(ds, cfg, plan, input_refs=input_refs)
     if cfg.clean.min_area_to_keep > 0:
         # small faces that were border pieces only become final in the
         # stitch; their longest neighbour may live in another signature
@@ -256,10 +330,11 @@ def face_relation_rows(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan |
     import hashlib
 
     cfg = cfg or ResolveConfig()
-    plan = plan or prepare(ds, cfg)
+    input_refs, ds = stages.small_input_refs(ds)
+    plan = plan or prepare(ds, cfg, input_refs=input_refs)
     grid = plan.grid
     utm = cfg.topology.utm
-    stitched = stitched_faces(ds, cfg, plan)
+    stitched = stitched_faces(ds, cfg, plan, input_refs=input_refs)
 
     def rows(t: pa.Table) -> pa.Table:
         from ..geom import core

@@ -250,6 +250,18 @@ def small_group_fanout(
     if not tbls:
         return None, grouped
     whole = pa.concat_tables(tbls, promote_options="default")
+    return group_fanout_table(whole, key, fn, batch_format), grouped
+
+
+def group_fanout_table(whole: pa.Table, key, fn, batch_format: str = "pyarrow"):
+    """The bin/submit half of :func:`small_group_fanout` for a table that is
+    already driver-resident (the gated pull above, or the plain-task front
+    end of :func:`small_input_refs`).  Returns the result Dataset, or None
+    when every pandas-format bucket came back empty (the caller's tiny
+    fallback groupby owns the schema in that case)."""
+    import ray
+    import ray.data as rd
+
     starts, ends, order = _group_runs(whole, key)
     sizes = ends - starts
     by_size = np.argsort(-sizes, kind="stable")
@@ -295,7 +307,7 @@ def small_group_fanout(
     if batch_format == "pandas":
         outs = [t for t in ray.get(refs) if t is not None and len(t)]
         if not outs:
-            return None, grouped  # all-empty: the tiny fallback groupby owns schema
+            return None  # all-empty: the tiny fallback groupby owns schema
         # permissive: tasks may disagree on numeric width (pandas NaN
         # upcast in some buckets only) — same unification to_pandas would do
         unified = pa.concat_tables(outs, promote_options="permissive")
@@ -305,8 +317,123 @@ def small_group_fanout(
         n_out = max(1, min(len(refs), len(unified)))
         step = -(-len(unified) // n_out)
         slices = [unified.slice(i, step) for i in range(0, len(unified), step)]
-        return rd.from_arrow(slices), grouped
-    return rd.from_arrow_refs(refs), grouped
+        return rd.from_arrow(slices)
+    return rd.from_arrow_refs(refs)
+
+
+# ---------------------------------------------------------------------------
+# small-input plain-task front end: skip Ray Data executions when the INPUT
+# layer is driver-bounded
+# ---------------------------------------------------------------------------
+
+
+def small_input_refs(ds, limit: int | None = None):
+    """``(block_refs | None, ds_maybe_materialized)`` — the gate for the
+    plain-task front end (read → per-block unwrap/route/histogram as plain
+    Ray tasks instead of Ray Data executions, each of which carries a
+    1-2.5 s fixed floor at 32 CPUs: 64 streaming-executor task submits at
+    20-30 ms each for ~3 CPU·s of useful work, measured on the sf0.1
+    unwrap+route leg).
+
+    Same two-stage gate as :func:`small_group_fanout`: ``ds.size_bytes()``
+    (for parquet sources a metadata lookup of the compressed on-disk size,
+    a lower bound on the decoded table) pre-screens without executing;
+    only then is the input materialized and its true in-memory size
+    checked.  On fallback the materialized dataset is returned so the
+    caller's Ray Data path reuses the blocks instead of re-reading.  At
+    100 TB the pre-screen never passes and nothing executes."""
+    if limit is None:
+        limit = SMALL_FANOUT_LIMIT
+    if limit <= 0 or (ds.size_bytes() or limit + 1) > limit:
+        return None, ds
+    m = ds.materialize()
+    if (m.size_bytes() or limit + 1) > limit:
+        return None, m
+    import ray
+
+    refs = list(m.to_arrow_refs())
+    return (refs or None), m
+
+
+class Compose:
+    """Picklable left-to-right composition of batch callables."""
+
+    def __init__(self, *fns):
+        self.fns = fns
+
+    def __call__(self, t):
+        for f in self.fns:
+            t = f(t)
+        return t
+
+
+def _block_map_task(fn, *tbls):
+    """One plain-task wave member: fn over every input block, one concat.
+
+    ``fn`` must be schema-owning on pyarrow tables (returns a typed table
+    even for 0-row input) so all-empty groups still concat; a None return
+    drops that block.  Zero-COLUMN blocks are dropped before fn: Ray Data
+    emits schema-less empty bundles from pass-through operators (its map
+    operators skip the UDF on them too)."""
+    outs = [fn(t) for t in tbls if t is not None and t.num_columns]
+    outs = [o for o in outs if o is not None]
+    return pa.concat_tables(outs, promote_options="default") if outs else None
+
+
+_block_map_remote = None
+
+
+def block_map_refs(refs, fn, n_tasks: int | None = None):
+    """Apply ``fn`` to materialized block refs as plain Ray tasks (no Ray
+    Data execution), ~one task per CPU with round-robin block assignment.
+    Returns output-table refs; a ref resolves to None when every block in
+    its group was dropped — consumers filter after ``ray.get``."""
+    import ray
+
+    global _block_map_remote
+    if _block_map_remote is None:
+        _block_map_remote = ray.remote(num_cpus=1)(_block_map_task)
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 0) or 0) or 8
+    except Exception:
+        ncpu = 8
+    k = max(1, min(n_tasks or ncpu, len(refs)))
+    groups = [refs[i::k] for i in range(k)]
+    return [_block_map_remote.remote(fn, *g) for g in groups if g]
+
+
+def cut_from_refs(
+    refs,
+    grid: GridConfig,
+    base_level: int,
+    fine_level: int,
+    max_rows: int,
+) -> "balance.CutIndex":
+    """:func:`compute_cut` over driver-bounded block refs: one plain-task
+    wave computes the EXACT fine-level centroid histogram (no sampling —
+    the input already fits the :data:`SMALL_FANOUT_LIMIT` gate, so a full
+    pass is cheaper than the sampled Ray Data execution's fixed floor).
+    Identical cut to compute_cut whenever compute_cut would not sample
+    (integer partials summed either way, order-independent); when it WOULD
+    sample, the exact histogram is strictly better balanced and the cut
+    stays performance-only (results are tiling-independent by test)."""
+    import ray
+
+    fine_level = min(fine_level, grid.max_level())
+    base_level = min(base_level, fine_level)
+    outs = [
+        o
+        for o in ray.get(block_map_refs(refs, _HistPartial(grid, fine_level)))
+        if o is not None and len(o)
+    ]
+    acc: dict[int, int] = {}
+    for o in outs:
+        for c, n in zip(o["cell"].to_pylist(), o["n"].to_pylist()):
+            acc[c] = acc.get(c, 0) + n
+    cells = np.fromiter(acc.keys(), dtype=np.uint64, count=len(acc))
+    counts = np.fromiter(acc.values(), dtype=np.int64, count=len(acc))
+    cut = balance.build_cut(cells, counts, base_level, fine_level, max_rows)
+    return balance.CutIndex(cut, base_level, fine_level, grid.span_px)
 
 
 FACE_SCHEMA = pa.schema(
@@ -471,25 +598,37 @@ class Unwrap:
         return res
 
 
-def extent_of_docs(ds) -> tuple[float, float, float, float]:
-    """One cheap pass: float bbox of all geometry (per-batch partials)."""
+def _extent_partial(t: pa.Table) -> pa.Table:
+    """Per-batch float bbox partial (picklable: shared by the Ray Data
+    extent pass and the plain-task refs path)."""
+    wkbs = spans_mod.extract_geometry_wkb(t["spans"])
+    # bbox-only scan (covers line layers too — they participate in the
+    # arrangement, so the frame must contain them)
+    _, bmnx, bmny, bmxx, bmxy = wkb.scan_coord_bboxes(wkbs)
+    if len(bmnx):
+        mnx, mny = float(bmnx.min()), float(bmny.min())
+        mxx, mxy = float(bmxx.max()), float(bmxy.max())
+    else:
+        mnx = mny = np.inf
+        mxx = mxy = -np.inf
+    return pa.table({"minx": [mnx], "miny": [mny], "maxx": [mxx], "maxy": [mxy]})
 
-    def partial(t: pa.Table) -> pa.Table:
-        wkbs = spans_mod.extract_geometry_wkb(t["spans"])
-        # bbox-only scan (covers line layers too — they participate in the
-        # arrangement, so the frame must contain them)
-        _, bmnx, bmny, bmxx, bmxy = wkb.scan_coord_bboxes(wkbs)
-        if len(bmnx):
-            mnx, mny = float(bmnx.min()), float(bmny.min())
-            mxx, mxy = float(bmxx.max()), float(bmxy.max())
-        else:
-            mnx = mny = np.inf
-            mxx = mxy = -np.inf
-        return pa.table(
-            {"minx": [mnx], "miny": [mny], "maxx": [mxx], "maxy": [mxy]}
-        )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+def extent_of_docs(ds, input_refs=None) -> tuple[float, float, float, float]:
+    """One cheap pass: float bbox of all geometry (per-batch partials).
+    With ``input_refs`` (from :func:`small_input_refs`) the partials run
+    as one plain-task wave instead of a Ray Data execution."""
+    if input_refs:
+        import ray
+
+        outs = [
+            o
+            for o in ray.get(block_map_refs(input_refs, _extent_partial))
+            if o is not None and len(o)
+        ]
+        parts = [r for o in outs for r in o.to_pylist()]
+    else:
+        parts = ds.map_batches(_extent_partial, batch_format="pyarrow").take_all()
     mnx = min(p["minx"] for p in parts)
     mny = min(p["miny"] for p in parts)
     mxx = max(p["maxx"] for p in parts)
@@ -511,18 +650,24 @@ def world_grid(precision: float) -> GridConfig:
     return GridConfig(-181.0, -91.0, span_px * precision, precision)
 
 
-def histogram_cells(ds, grid: GridConfig, fine_level: int,
-                    only_under=None, mid_level: int | None = None):
-    """Cheap histogram pass: decode -> centroid fine cell partial counts.
-    Skips the full unwrap work (validity O(k^2), packing) because only the
-    bbox centre is needed for content balancing.
+class _HistPartial:
+    """Per-batch centroid-cell partial counts (picklable: shared by the
+    Ray Data histogram execution and the plain-task refs path).
 
     ``only_under`` (an ``ray.put`` ObjectRef of a frozenset of mid-level
     cells) restricts the count to rows whose centroid falls under one of
     those cells — the refinement stage of the two-stage histogram drops
     cold rows inside the task, so only hot-cell partials ever move."""
 
-    def partial(t: pa.Table) -> pa.Table:
+    def __init__(self, grid: GridConfig, fine_level: int,
+                 only_under=None, mid_level: int | None = None):
+        self.grid = grid
+        self.fine_level = fine_level
+        self.only_under = only_under
+        self.mid_level = mid_level
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        grid = self.grid
         wkbs = spans_mod.extract_geometry_wkb(t["spans"])
         # bbox-only scan: no per-ring arrays, one reduceat per bound (same
         # float values as the per-row min-of-ring-mins path)
@@ -530,12 +675,12 @@ def histogram_cells(ds, grid: GridConfig, fine_level: int,
         if not len(mnx):
             return pa.table({"cell": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
         g = core.snap(np.stack([(mnx + mxx) / 2, (mny + mxy) / 2], axis=1), grid.origin_x, grid.origin_y, grid.precision)
-        cells = quadkey.cell_of_point_px(g[:, 0], g[:, 1], fine_level, grid.span_px)
-        if only_under is not None:
+        cells = quadkey.cell_of_point_px(g[:, 0], g[:, 1], self.fine_level, grid.span_px)
+        if self.only_under is not None:
             import ray as _ray
 
-            hot = _ray.get(only_under)
-            par = quadkey.parent(cells, mid_level)
+            hot = _ray.get(self.only_under)
+            par = quadkey.parent(cells, self.mid_level)
             mask = np.fromiter((int(p) in hot for p in par), bool, len(par))
             cells = cells[mask]
             if not len(cells):
@@ -543,7 +688,16 @@ def histogram_cells(ds, grid: GridConfig, fine_level: int,
         u, c = np.unique(cells, return_counts=True)
         return pa.table({"cell": u.astype(np.int64), "n": c})
 
-    return ds.map_batches(partial, batch_format="pyarrow")
+
+def histogram_cells(ds, grid: GridConfig, fine_level: int,
+                    only_under=None, mid_level: int | None = None):
+    """Cheap histogram pass: decode -> centroid fine cell partial counts.
+    Skips the full unwrap work (validity O(k^2), packing) because only the
+    bbox centre is needed for content balancing."""
+    return ds.map_batches(
+        _HistPartial(grid, fine_level, only_under, mid_level),
+        batch_format="pyarrow",
+    )
 
 
 def grid_from_extent(

@@ -211,3 +211,102 @@ def test_pandas_fanout_multikey_dtype_drift_and_blocks(ray_session):
     pd.testing.assert_frame_equal(
         mine.astype({"v": "float64"}), ref.astype({"v": "float64"})
     )
+
+
+def test_small_input_refs_gate(ray_session):
+    """Gate semantics: refs for bounded inputs, None (+ no recompute
+    penalty object) past the limit, None for limit<=0."""
+    import ray
+    import ray.data as rd
+
+    from rogray import stages
+
+    tbl = pa.table({"x": pa.array(range(1000), pa.int64())})
+    refs, ds2 = stages.small_input_refs(rd.from_arrow(tbl))
+    assert refs is not None
+    got = pa.concat_tables([t for t in ray.get(refs) if t is not None])
+    assert got.num_rows == 1000
+
+    refs, ds2 = stages.small_input_refs(rd.from_arrow(tbl), limit=0)
+    assert refs is None
+    refs, ds2 = stages.small_input_refs(rd.from_arrow(tbl), limit=1)
+    assert refs is None  # true-size gate: returns the materialized ds
+    assert ds2.count() == 1000
+
+
+def test_block_map_refs_skips_zero_column_blocks(ray_session):
+    """Ray Data pass-through operators emit schema-less empty bundles;
+    the plain-task wave must drop them before the partial fn (the
+    compare_result regression: KeyError 'spans' on a 0-column block)."""
+    import ray
+
+    from rogray import stages
+
+    good = pa.table({"k": pa.array([1, 2], pa.int64())})
+    empty = pa.table({})  # zero columns, zero rows
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"k2": pa.compute.multiply(t["k"], 2)})
+
+    refs = [ray.put(good), ray.put(empty), ray.put(good)]
+    outs = [t for t in ray.get(stages.block_map_refs(refs, fn)) if t is not None]
+    got = pa.concat_tables(outs)
+    assert sorted(got["k2"].to_pylist()) == [2, 2, 4, 4]
+
+
+def test_cut_from_refs_matches_compute_cut(ray_session):
+    """The plain-task exact histogram must yield the identical cut to the
+    Ray Data compute_cut whenever compute_cut does not sample."""
+    import ray
+    import ray.data as rd
+
+    import rogray.sources as sources
+    from rogray import stages
+
+    docs_path = sources.docs_path_for(SF, 500)
+    ds = rd.read_parquet(docs_path)
+    grid = stages.world_grid(1e-5)
+    slow = stages.compute_cut(ds, grid, 2, 8, 60)
+    refs, _ = stages.small_input_refs(ds)
+    assert refs is not None
+    fast = stages.cut_from_refs(refs, grid, 2, 8, 60)
+    assert sorted(fast.leaves) == sorted(slow.leaves)
+
+
+def test_tile_apply_oversize_falls_back_to_groupby(ray_session, monkeypatch):
+    """When routing inflates a table past 4x the gate, tile_apply must run
+    the real groupby on the driver-resident table — same result."""
+    from rogray import stages
+    from rogray.pipelines import resolve
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    tbl = pa.table(
+        {
+            "tile": pa.array(rng.integers(0, 17, n), pa.int64()),
+            "v": pa.array(rng.standard_normal(n), pa.float64()),
+        }
+    )
+
+    def per_tile(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tile": pa.array([t["tile"][0].as_py()], pa.int64()),
+                "s": pa.array([float(np.sum(t["v"].to_numpy()))], pa.float64()),
+            }
+        )
+
+    small = (
+        resolve.tile_apply(tbl, per_tile)
+        .to_pandas()
+        .sort_values("tile")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(stages, "SMALL_FANOUT_LIMIT", 1)  # nbytes > 4*1
+    big = (
+        resolve.tile_apply(tbl, per_tile)
+        .to_pandas()
+        .sort_values("tile")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(small, big)
