@@ -177,6 +177,11 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
     Returns (id_a, id_b, jaccard_x100) with id_a < id_b, deduplicated.
     """
     id_type = ds.schema().base_schema.field("doc_id").type
+    # driver-bounded corpora run the sig + band stages as plain-task waves
+    # (each Ray Data execution carries a 1-2.5 s fixed floor that dwarfs
+    # the ~4 CPU-s of minhash work at test scales); at 100 TB the metadata
+    # pre-screen fails and the streaming chain below runs unchanged
+    input_refs, ds = stages.small_input_refs(ds)
 
     def sig_rows(t: pa.Table) -> pa.Table:
         texts = t[col].to_pylist()
@@ -194,7 +199,14 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
 
     # consumed by the banding pass AND both attach passes: pin the (small)
     # signature table once instead of recomputing the minhashes 3x
-    sigs_ds = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
+    if input_refs:
+        import ray.data as rd
+
+        sigs_ds = rd.from_arrow_refs(
+            stages.block_map_refs(input_refs, sig_rows)
+        ).materialize()
+    else:
+        sigs_ds = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
     nb = _n_buckets_for(sigs_ds.count())
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -237,15 +249,37 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
             out_b.extend(ids[jj].tolist())
         return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates()
 
-    banded = sigs_ds.map_batches(band_rows, batch_format="pyarrow")
-    bp, banded = stages.small_group_fanout(
-        sigs_ds, banded, "gb", band_pairs, batch_format="pandas"
-    )
-    if bp is None:
-        bp = banded.groupby("gb").map_groups(band_pairs, batch_format="pandas")
-    cand = _dedup_pairs(bp, n_buckets=nb, hint=sigs_ds)
-    withAB = _attach_pair_blobs(cand, sigs_ds, id_type, blob_col="sig",
-                                n_buckets=nb)
+    if input_refs:
+        import ray
+
+        outs = [
+            t
+            for t in ray.get(
+                stages.block_map_refs(list(sigs_ds.to_arrow_refs()), band_rows)
+            )
+            if t is not None and len(t)
+        ]
+        cand_tbl = (
+            stages.group_fanout_table(
+                pa.concat_tables(outs, promote_options="default"),
+                "gb",
+                band_pairs,
+                batch_format="pandas",
+                gather=True,
+            )
+            if outs
+            else None
+        )
+    else:
+        banded = sigs_ds.map_batches(band_rows, batch_format="pyarrow")
+        bp, banded = stages.small_group_fanout(
+            sigs_ds, banded, "gb", band_pairs, batch_format="pandas"
+        )
+        if bp is None:
+            bp = banded.groupby("gb").map_groups(band_pairs, batch_format="pandas")
+        cand = _dedup_pairs(bp, n_buckets=nb, hint=sigs_ds)
+        withAB = _attach_pair_blobs(cand, sigs_ds, id_type, blob_col="sig",
+                                    n_buckets=nb)
 
     out_schema = pa.schema(
         [("id_a", id_type), ("id_b", id_type), ("jaccard_x100", pa.int64())]
@@ -276,6 +310,12 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
             schema=out_schema,
         )
 
+    if input_refs:
+        import ray.data as rd
+
+        if cand_tbl is None:  # no candidate bands anywhere
+            return rd.from_arrow(out_schema.empty_table())
+        return _verify_pairs_fast(cand_tbl, sigs_ds, "sig", verify, out_schema)
     return withAB.map_batches(verify, batch_format="pyarrow")
 
 
@@ -694,6 +734,69 @@ _BCAST_BLOB_CACHE: dict = {}
 _FREQ_SAMPLE = 20000
 
 
+def _attach_verify_task(pairs_tbl: pa.Table, blob_tbl: pa.Table, verify_fn, out_schema):
+    """One plain-task slice of the gated verify tail: dict-lookup both
+    blobs, then the pipeline's own verify kernel."""
+    ids = blob_tbl["doc_id"].to_pylist()
+    bl = dict(zip(ids, blob_tbl[blob_tbl.column_names[1]].to_pylist()))
+    t = pairs_tbl.append_column(
+        "blob_a",
+        pa.array([bl.get(x) for x in pairs_tbl["id_a"].to_pylist()], pa.large_binary()),
+    )
+    t = t.append_column(
+        "blob_b",
+        pa.array([bl.get(x) for x in pairs_tbl["id_b"].to_pylist()], pa.large_binary()),
+    )
+    out = verify_fn(t)
+    return out if out is not None else out_schema.empty_table()
+
+
+_attach_verify_remote = None
+
+
+def _verify_pairs_fast(cand_tbl, blobs_ds, blob_col: str, verify_fn, out_schema):
+    """Driver-bounded tail of the pair pipelines: global (id_a, id_b) dedup
+    on the driver (the candidate table is already there from the fan-out
+    gather), then blob attach + verify as ONE plain-task wave with the
+    blob table shipped once via the object store — replaces the
+    _dedup_pairs / _attach_pair_blobs / verify map_batches chain, which
+    costs three Ray Data execution floors in the gated regime.  Semantics
+    are identical: same drop_duplicates subset, same blob values, same
+    verify kernel; the streaming chain stays the scale path."""
+    import ray
+    import ray.data as rd
+
+    df = cand_tbl.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+    if not len(df):
+        return rd.from_arrow(out_schema.empty_table())
+    pairs = pa.Table.from_pandas(df[["id_a", "id_b"]], preserve_index=False)
+    blob_tbl = pa.concat_tables(
+        [
+            t.select(["doc_id", blob_col])
+            for t in ray.get(blobs_ds.to_arrow_refs())
+            if t is not None and len(t)
+        ],
+        promote_options="default",
+    )
+    blob_ref = ray.put(blob_tbl)
+    global _attach_verify_remote
+    if _attach_verify_remote is None:
+        _attach_verify_remote = ray.remote(num_cpus=1)(_attach_verify_task)
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 0) or 0) or 8
+    except Exception:
+        ncpu = 8
+    k = max(1, min(ncpu, len(pairs)))
+    step = -(-len(pairs) // k)
+    refs = [
+        _attach_verify_remote.remote(
+            pairs.slice(i, step).combine_chunks(), blob_ref, verify_fn, out_schema
+        )
+        for i in range(0, len(pairs), step)
+    ]
+    return rd.from_arrow_refs(refs)
+
+
 def _slim_blobs(blob_ds, blob_col: str):
     """Materialized (k, blob) broadcast payload for the blob side."""
 
@@ -937,8 +1040,20 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
         )
 
     # consumed by the prefix pass AND both attach passes: pin the gram
-    # table once instead of recomputing the n-gram hashing 3x
-    grams_ds = ds.map_batches(gram_rows, batch_format="pyarrow").materialize()
+    # table once instead of recomputing the n-gram hashing 3x.  Driver-
+    # bounded corpora run the gram + prefix stages as plain-task waves
+    # (per-execution fixed floors dominate at test scales — see
+    # stages.small_input_refs); at 100 TB the gate pre-screen fails and
+    # the streaming chain runs unchanged.
+    input_refs, ds = stages.small_input_refs(ds)
+    if input_refs:
+        import ray.data as rd
+
+        grams_ds = rd.from_arrow_refs(
+            stages.block_map_refs(input_refs, gram_rows)
+        ).materialize()
+    else:
+        grams_ds = ds.map_batches(gram_rows, batch_format="pyarrow").materialize()
     nb = _n_buckets_for(grams_ds.count())
     grams_schema = pa.schema(
         [("doc_id", ds.schema().base_schema.field("doc_id").type), ("grams", pa.large_binary())]
@@ -1019,20 +1134,45 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
             out_b.extend(ids[jj[ok]].tolist())
         return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates()
 
-    prefixed = grams_ds.map_batches(
-        prefix_rows, batch_format="pyarrow"
-    ).map_batches(add_bucket, batch_format="pyarrow")
-    cands, prefixed = stages.small_group_fanout(
-        grams_ds, prefixed, "gb", candidates, batch_format="pandas"
-    )
-    if cands is None:
-        cands = prefixed.groupby("gb").map_groups(
-            candidates, batch_format="pandas"
-        )
-    cand = _dedup_pairs(cands, n_buckets=nb, hint=grams_ds)
+    if input_refs:
+        import ray.data as rd
 
-    withAB = _attach_pair_blobs(cand, grams_ds, grams_schema.field("doc_id").type,
-                                n_buckets=nb)
+        outs = [
+            t
+            for t in _ray.get(
+                stages.block_map_refs(
+                    list(grams_ds.to_arrow_refs()),
+                    stages.Compose(prefix_rows, add_bucket),
+                )
+            )
+            if t is not None and len(t)
+        ]
+        cand_tbl = (
+            stages.group_fanout_table(
+                pa.concat_tables(outs, promote_options="default"),
+                "gb",
+                candidates,
+                batch_format="pandas",
+                gather=True,
+            )
+            if outs
+            else None
+        )
+    else:
+        prefixed = grams_ds.map_batches(
+            prefix_rows, batch_format="pyarrow"
+        ).map_batches(add_bucket, batch_format="pyarrow")
+        cands, prefixed = stages.small_group_fanout(
+            grams_ds, prefixed, "gb", candidates, batch_format="pandas"
+        )
+        if cands is None:
+            cands = prefixed.groupby("gb").map_groups(
+                candidates, batch_format="pandas"
+            )
+        cand = _dedup_pairs(cands, n_buckets=nb, hint=grams_ds)
+        withAB = _attach_pair_blobs(cand, grams_ds,
+                                    grams_schema.field("doc_id").type,
+                                    n_buckets=nb)
 
     id_type = grams_schema.field("doc_id").type
     out_schema = pa.schema(
@@ -1066,6 +1206,12 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
             schema=out_schema,
         )
 
+    if input_refs:
+        import ray.data as rd
+
+        if cand_tbl is None:  # no prefix collisions anywhere
+            return rd.from_arrow(out_schema.empty_table())
+        return _verify_pairs_fast(cand_tbl, grams_ds, "grams", verify, out_schema)
     return withAB.map_batches(verify, batch_format="pyarrow")
 
 

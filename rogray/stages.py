@@ -253,12 +253,16 @@ def small_group_fanout(
     return group_fanout_table(whole, key, fn, batch_format), grouped
 
 
-def group_fanout_table(whole: pa.Table, key, fn, batch_format: str = "pyarrow"):
+def group_fanout_table(
+    whole: pa.Table, key, fn, batch_format: str = "pyarrow", gather: bool = False
+):
     """The bin/submit half of :func:`small_group_fanout` for a table that is
     already driver-resident (the gated pull above, or the plain-task front
     end of :func:`small_input_refs`).  Returns the result Dataset, or None
     when every pandas-format bucket came back empty (the caller's tiny
-    fallback groupby owns the schema in that case)."""
+    fallback groupby owns the schema in that case).  ``gather=True``
+    (pandas format only) returns the unified ``pa.Table`` instead of
+    re-emitting a Dataset — for callers that keep chaining driver-side."""
     import ray
     import ray.data as rd
 
@@ -311,6 +315,8 @@ def group_fanout_table(whole: pa.Table, key, fn, batch_format: str = "pyarrow"):
         # permissive: tasks may disagree on numeric width (pandas NaN
         # upcast in some buckets only) — same unification to_pandas would do
         unified = pa.concat_tables(outs, promote_options="permissive")
+        if gather:
+            return unified
         # re-slice into ~one block per task: a single giant block would
         # serialize every downstream map stage (measured 2.5x on the
         # ngram-jaccard attach+verify chain)
