@@ -775,8 +775,9 @@ def resolve_overlap_gap_resumable(
     from ..state import manifest
 
     cfg = cfg or ResolveConfig()
+    input_refs, ds = stages.small_input_refs(ds)
     slim_fut = _slim_prefetch(ds)
-    plan = prepare(ds, cfg)
+    plan = prepare(ds, cfg, input_refs=input_refs)
     t = cfg.topology
     grid = plan.grid
     fp = manifest.config_fingerprint(cfg)

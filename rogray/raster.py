@@ -445,7 +445,9 @@ def zonal_stats(docs_ds, cfg=None, plan=None, value_fn=raster_field):
     from .config import ResolveConfig
 
     cfg = cfg or ResolveConfig()
-    plan = plan or prepare(docs_ds, cfg)
+    if plan is None:
+        input_refs, docs_ds = stages_mod.small_input_refs(docs_ds)
+        plan = prepare(docs_ds, cfg, input_refs=input_refs)
     unwrapped = docs_ds.map_batches(stages_mod.Unwrap(plan.grid), batch_format="pyarrow")
     partial = unwrapped.map_batches(_DocsToZonalStats(value_fn), batch_format="pyarrow")
     return partial.groupby("zone_id").aggregate(

@@ -38,7 +38,11 @@ def point_in_polygon_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = 
     tile; exact even-odd PIP on snapped coordinates inside the group.
     """
     cfg = cfg or ResolveConfig()
-    plan = plan or prepare(polys_docs_ds, cfg)
+    if plan is None:
+        # driver-bounded layers: histogram as a plain-task wave + the
+        # input materialized once for the chains below (resolve.prepare)
+        input_refs, polys_docs_ds = stages.small_input_refs(polys_docs_ds)
+        plan = prepare(polys_docs_ds, cfg, input_refs=input_refs)
     grid, cut = plan.grid, plan.cut
 
     unwrapped = polys_docs_ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
@@ -653,7 +657,9 @@ def cell_cover(docs_ds, level: int, cfg: ResolveConfig | None = None,
     from . import raster
 
     cfg = cfg or ResolveConfig()
-    plan = plan or prepare(docs_ds, cfg)
+    if plan is None:
+        input_refs, docs_ds = stages.small_input_refs(docs_ds)
+        plan = prepare(docs_ds, cfg, input_refs=input_refs)
     grid = plan.grid
     s = int(grid.span_px) >> level
     if s <= 0:
@@ -887,7 +893,9 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
     from .dedup import _n_buckets_for
 
     cfg = cfg or ResolveConfig()
-    plan = plan or prepare(polys_docs_ds, cfg)
+    if plan is None:
+        input_refs, polys_docs_ds = stages.small_input_refs(polys_docs_ds)
+        plan = prepare(polys_docs_ds, cfg, input_refs=input_refs)
     grid = plan.grid
     w = int(grid.span_px) >> level
     if w <= 0:
