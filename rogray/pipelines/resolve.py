@@ -110,10 +110,14 @@ def tile_apply(whole: pa.Table, worker):
 
 
 @hash_shuffled
-def stitched_faces(ds, cfg: ResolveConfig, plan: ResolvePlan, input_refs=None):
+def stitched_faces(
+    ds, cfg: ResolveConfig, plan: ResolvePlan, input_refs=None, as_parts=False
+):
     """The resolved face set BEFORE attribute finalization: one row per
     output face with exact px rings, coverage set, winner/others, area2.
-    Shared by resolve_overlap_gap and the AR5 attribute-table mode."""
+    Shared by resolve_overlap_gap and the AR5 attribute-table mode.
+    ``as_parts`` is forwarded to :func:`_stitch_levels` (best-effort parts
+    shape for the plain-task finalize)."""
     t = cfg.topology
     grid = plan.grid
     coarse_level = _coarse_level(plan, t.base_level)
@@ -154,11 +158,17 @@ def stitched_faces(ds, cfg: ResolveConfig, plan: ResolvePlan, input_refs=None):
         faces, routed = stages.small_group_fanout(ds, routed, "tile", overlay)
         if faces is None:
             faces = routed.groupby("tile").map_groups(overlay, batch_format="pyarrow")
-    return _stitch_levels(faces, _mid_level(coarse_level))
+    return _stitch_levels(faces, _mid_level(coarse_level), as_parts=as_parts)
 
 
-def _stitch_levels(faces, mid_level):
+def _stitch_levels(faces, mid_level, as_parts: bool = False):
     """Multi-level border stitch over the border-piece subset only.
+
+    ``as_parts=True``: when the single-stitch gate passes (the whole face
+    table is driver-resident anyway), return ``("parts", interior_tbl,
+    stitch_bucket_refs)`` instead of a Dataset so the caller can finalize
+    as a plain-task wave.  Best-effort — larger inputs still return the
+    Dataset ladder and the caller must handle both shapes.
 
     Interior faces (kind==0, the bulk of the output) are final the moment
     the overlay emits them; shipping them through three stitch shuffles
@@ -203,6 +213,16 @@ def _stitch_levels(faces, mid_level):
             return interior
         whole = pa.concat_tables(tbls, promote_options="default")
         border_tbl = whole.filter(pc.not_equal(whole["kind"], 0))
+        if as_parts:
+            # the whole face table is ALREADY on the driver here: hand the
+            # caller the interior table + stitch bucket refs so the
+            # finalize can run as a plain-task wave instead of one more
+            # Ray Data execution (~20-30 ms submit per block, measured)
+            interior_tbl = whole.filter(pc.equal(whole["kind"], 0))
+            stitch_refs = (
+                _stitch_border_fanout_refs(border_tbl) if len(border_tbl) else []
+            )
+            return ("parts", interior_tbl, stitch_refs)
         if len(border_tbl) == 0:
             return interior
         return interior.union(_stitch_border_fanout(border_tbl))
@@ -257,6 +277,12 @@ def _stitch_border_fanout(border_tbl: pa.Table):
     and the tasks start immediately, overlapping the final execution
     that consumes them via from_arrow_refs (no driver round trip for the
     results)."""
+    return rd.from_arrow_refs(_stitch_border_fanout_refs(border_tbl))
+
+
+def _stitch_border_fanout_refs(border_tbl: pa.Table):
+    """The task refs of :func:`_stitch_border_fanout` (for callers that
+    keep chaining plain-task waves instead of Datasets)."""
     import zlib
 
     import ray
@@ -277,7 +303,7 @@ def _stitch_border_fanout(border_tbl: pa.Table):
         idx = np.flatnonzero(buckets == b)
         sub = border_tbl.take(pa.array(idx, pa.int64()))
         refs.append(_stitch_bucket_remote.remote(sub))
-    return rd.from_arrow_refs(refs)
+    return refs
 
 
 @hash_shuffled
@@ -307,7 +333,19 @@ def resolve_overlap_gap(
     # its materialization overlaps the histogram + overlay executions
     slim_fut = _slim_prefetch(ds)
     plan = plan or prepare(ds, cfg, input_refs=input_refs)
-    stitched = stitched_faces(ds, cfg, plan, input_refs=input_refs)
+    # parts shape (driver interior table + stitch refs) lets the finalize
+    # run as one plain-task wave; cleaning mode needs the Dataset shape
+    # for the cross-group dissolve
+    as_parts = cfg.clean.min_area_to_keep <= 0
+    stitched = stitched_faces(
+        ds, cfg, plan, input_refs=input_refs, as_parts=as_parts
+    )
+    if isinstance(stitched, tuple):
+        _, interior_tbl, stitch_refs = stitched
+        return _finalize_parts(
+            interior_tbl, stitch_refs, ds, plan.grid, cfg.topology.utm,
+            slim_fut=slim_fut,
+        )
     if cfg.clean.min_area_to_keep > 0:
         # small faces that were border pieces only become final in the
         # stitch; their longest neighbour may live in another signature
@@ -648,6 +686,16 @@ def _finalize_join_broadcast(stitched, slim, grid, utm):
     Arrow blocks in the object store by workers, never the driver) is read
     zero-copy by every attach task.  The face stream stays put — no union,
     no sort shuffle, no extra all-to-all."""
+    joined = stitched.map_batches(_make_attach_bcast(slim), batch_format="pyarrow")
+    return joined.map_batches(
+        stages.FinalizeJoined(grid, utm), batch_format="pyarrow"
+    )
+
+
+def _make_attach_bcast(slim):
+    """The broadcast attach kernel as a picklable closure over the slim
+    payload's object refs (shared by the Dataset path and the plain-task
+    parts wave)."""
     refs = [r for r in slim.to_arrow_refs()]
     cache_key = tuple(r.hex() for r in refs)
 
@@ -716,10 +764,59 @@ def _finalize_join_broadcast(stitched, slim, grid, utm):
             }
         )
 
-    joined = stitched.map_batches(attach_bcast, batch_format="pyarrow")
-    return joined.map_batches(
-        stages.FinalizeJoined(grid, utm), batch_format="pyarrow"
-    )
+    return attach_bcast
+
+
+def _parts_to_dataset(interior_tbl: pa.Table, stitch_refs):
+    """Reconstitute a stitched-faces Dataset from parts (the fallback when
+    the finalize wave cannot broadcast)."""
+    n = max(1, min(64, len(interior_tbl)))
+    step = -(-len(interior_tbl) // n)
+    slices = [
+        interior_tbl.slice(i, step).combine_chunks()
+        for i in range(0, len(interior_tbl), step)
+    ] or [interior_tbl]
+    ds1 = rd.from_arrow(slices)
+    if stitch_refs:
+        return ds1.union(rd.from_arrow_refs(stitch_refs))
+    return ds1
+
+
+def _finalize_parts(interior_tbl, stitch_refs, ds, grid, utm, slim_fut=None):
+    """Finalize as ONE plain-task wave over stitched-face parts (driver
+    interior table + stitch bucket refs) when the slim doc payload passes
+    the broadcast gates — the last Ray Data execution of the headline
+    replaced by direct task submits.  Falls back to the Dataset join
+    (reduce-side shuffle) on a reconstituted dataset otherwise."""
+    try:
+        doc_bytes = ds.size_bytes() or 0
+    except Exception:
+        doc_bytes = _BCAST_PRESCREEN_LIMIT + 1
+    slim = None
+    if doc_bytes <= _BCAST_PRESCREEN_LIMIT:
+        slim = slim_fut.result() if slim_fut is not None else _docs_slim_sorted(ds)
+        if (slim.size_bytes() or 0) > _BCAST_JOIN_LIMIT:
+            slim = None
+    if slim is None or (len(interior_tbl) == 0 and not stitch_refs):
+        return _finalize_join(
+            _parts_to_dataset(interior_tbl, stitch_refs), ds, grid, utm,
+            slim_fut=slim_fut,
+        )
+    fn = stages.Compose(_make_attach_bcast(slim), stages.FinalizeJoined(grid, utm))
+    out_refs = list(stages.block_map_refs(stitch_refs, fn)) if stitch_refs else []
+    if len(interior_tbl):
+        out_refs += stages.table_map_refs(_slice_compact(interior_tbl), fn)
+    return rd.from_arrow_refs(out_refs)
+
+
+def _slice_compact(tbl: pa.Table, per_cpu: int = 2):
+    """~per_cpu compact slices per CPU (compact: a zero-copy slice would
+    pickle its parent's full buffers into every task)."""
+    from ..rayctx import _cluster_cpus
+
+    k = max(1, min(per_cpu * _cluster_cpus(), len(tbl)))
+    step = -(-len(tbl) // k)
+    return [tbl.slice(i, step).combine_chunks() for i in range(0, len(tbl), step)]
 
 
 # ---------------------------------------------------------------------------

@@ -408,6 +408,18 @@ def block_map_refs(refs, fn, n_tasks: int | None = None):
     return [_block_map_remote.remote(fn, *g) for g in groups if g]
 
 
+def table_map_refs(tbls, fn):
+    """Apply ``fn`` to driver-resident tables as plain Ray tasks, one task
+    per table (callers pre-slice to the wanted granularity — compact
+    slices, or the parent buffers ship with every task)."""
+    import ray
+
+    global _block_map_remote
+    if _block_map_remote is None:
+        _block_map_remote = ray.remote(num_cpus=1)(_block_map_task)
+    return [_block_map_remote.remote(fn, t) for t in tbls]
+
+
 def cut_from_refs(
     refs,
     grid: GridConfig,

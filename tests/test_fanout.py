@@ -310,3 +310,45 @@ def test_tile_apply_oversize_falls_back_to_groupby(ray_session, monkeypatch):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(small, big)
+
+
+def test_finalize_parts_matches_dataset_join(ray_session):
+    """The plain-task finalize wave (parts shape) must be byte-identical
+    to the Dataset broadcast join on the same stitched faces."""
+    import ray.data as rd
+
+    import rogray.sources as sources
+    from rogray import stages
+    from rogray.config import ResolveConfig, TopologyConfig
+    from rogray.pipelines import resolve
+
+    docs_path = sources.docs_path_for(SF, 400)
+    cfg = ResolveConfig(
+        topology=TopologyConfig(
+            snap_tolerance=1e-5, max_rows_in_each_cell=200, base_level=2
+        )
+    )
+
+    def run(as_parts):
+        ds = rd.read_parquet(docs_path)
+        input_refs, ds = stages.small_input_refs(ds)
+        plan = resolve.prepare(ds, cfg, input_refs=input_refs)
+        st = resolve.stitched_faces(
+            ds, cfg, plan, input_refs=input_refs, as_parts=as_parts
+        )
+        if isinstance(st, tuple):
+            assert as_parts
+            _, itbl, srefs = st
+            out = resolve._finalize_parts(
+                itbl, srefs, ds, plan.grid, cfg.topology.utm
+            )
+        else:
+            assert not as_parts
+            out = resolve._finalize_join(st, ds, plan.grid, cfg.topology.utm)
+        df = out.to_pandas()
+        df["wkb_hex"] = df["wkb"].map(lambda b: b.hex())
+        df["spans_r"] = df["spans"].map(repr)
+        df = df.drop(columns=["spans", "wkb"])
+        return df.sort_values(["winner_pk", "tile", "wkb_hex"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(True), run(False))
