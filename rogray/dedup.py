@@ -82,9 +82,33 @@ def exact_dedup(ds, col: str = "text"):
         out = g.sort_values("doc_id").drop_duplicates(subset=[col], keep="first")
         return out[["doc_id"]]
 
+    # driver-bounded corpora: hash as a plain-task wave, group via the
+    # fan-out — zero Ray Data executions (stages.small_input_refs note)
+    input_refs, ds = stages.small_input_refs(ds)
+    if input_refs:
+        import ray
+
+        outs = [
+            t
+            for t in ray.get(stages.block_map_refs(input_refs, add_hash))
+            if t is not None and len(t)
+        ]
+        if outs:
+            # keep_first is group-union-safe (drop_duplicates keyed on the
+            # text itself, same text -> same h -> same bucket): one
+            # vectorized call per bucket, not one per hash group
+            out = stages.group_fanout_table(
+                pa.concat_tables(outs, promote_options="default"),
+                "h",
+                keep_first,
+                batch_format="pandas",
+                whole_bucket=True,
+            )
+            if out is not None:
+                return out
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     out, hashed = stages.small_group_fanout(
-        ds, hashed, "h", keep_first, batch_format="pandas"
+        ds, hashed, "h", keep_first, batch_format="pandas", whole_bucket=True
     )
     if out is not None:
         return out

@@ -63,6 +63,39 @@ def pricing_summary(sf_dir: str):
             n="count_all",
         )
 
+    # driver-bounded fact table: partials as one plain-task wave, final
+    # 6-group reduce on the driver — same integer sums, associative either
+    # way; at scale the gate pre-screen fails and the exchange runs
+    input_refs, ds = stages.small_input_refs(ds)
+    if input_refs:
+        import ray
+
+        outs = [
+            t
+            for t in ray.get(stages.block_map_refs(input_refs, partial))
+            if t is not None and len(t)
+        ]
+        if outs:
+            whole = pa.concat_tables(outs, promote_options="default")
+            g = pa.TableGroupBy(whole, ["l_returnflag", "l_linestatus"]).aggregate(
+                [
+                    ("sum_qty_c", "sum"),
+                    ("sum_price_c", "sum"),
+                    ("sum_disc_c", "sum"),
+                    ("n", "sum"),
+                ]
+            )
+            return rd.from_arrow(
+                _picked(
+                    g,
+                    l_returnflag="l_returnflag",
+                    l_linestatus="l_linestatus",
+                    sum_qty_c="sum_qty_c_sum",
+                    sum_price_c="sum_price_c_sum",
+                    sum_disc_c="sum_disc_c_sum",
+                    count_order="n_sum",
+                )
+            )
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])

@@ -146,8 +146,27 @@ SMALL_FANOUT_LIMIT = 64 << 20
 _fanout_task_remote = None
 
 
-def _group_fanout_task(fn, tbl: pa.Table, keys, batch_format: str) -> pa.Table:
-    """Apply a per-group callable to every key-group inside one bucket."""
+def _group_fanout_task(
+    fn, tbl: pa.Table, keys, batch_format: str, whole_bucket: bool = False
+) -> pa.Table:
+    """Apply a per-group callable to every key-group inside one bucket.
+
+    ``whole_bucket=True``: call ``fn`` ONCE on the whole bucket instead of
+    per group — valid only when the caller declares fn group-union-safe
+    (fn(A ∪ B) == fn(A) ∪ fn(B) for disjoint key sets, e.g. a
+    drop-duplicates keyed at least as fine as the group key).  Skips the
+    per-group take/convert loop, which dominates at thousands of tiny
+    groups per bucket."""
+    if whole_bucket:
+        if batch_format == "pandas":
+            r = fn(tbl.to_pandas())
+            if r is None or not len(r):
+                return None
+            import pandas as pd  # noqa: F401
+
+            return pa.Table.from_pandas(r, preserve_index=False)
+        r = fn(tbl)
+        return r
     starts, ends, order = _group_runs(tbl, keys)
     outs = []
     for s, e in zip(starts.tolist(), ends.tolist()):
@@ -205,7 +224,13 @@ def _group_runs(tbl: pa.Table, keys) -> tuple[np.ndarray, np.ndarray, np.ndarray
 
 
 def small_group_fanout(
-    hint_ds, grouped, key, fn, limit: int | None = None, batch_format: str = "pyarrow"
+    hint_ds,
+    grouped,
+    key,
+    fn,
+    limit: int | None = None,
+    batch_format: str = "pyarrow",
+    whole_bucket: bool = False,
 ):
     """``grouped.groupby(key).map_groups(fn)`` without the all-to-all, for
     driver-bounded inputs.
@@ -250,11 +275,16 @@ def small_group_fanout(
     if not tbls:
         return None, grouped
     whole = pa.concat_tables(tbls, promote_options="default")
-    return group_fanout_table(whole, key, fn, batch_format), grouped
+    return group_fanout_table(whole, key, fn, batch_format, whole_bucket=whole_bucket), grouped
 
 
 def group_fanout_table(
-    whole: pa.Table, key, fn, batch_format: str = "pyarrow", gather: bool = False
+    whole: pa.Table,
+    key,
+    fn,
+    batch_format: str = "pyarrow",
+    gather: bool = False,
+    whole_bucket: bool = False,
 ):
     """The bin/submit half of :func:`small_group_fanout` for a table that is
     already driver-resident (the gated pull above, or the plain-task front
@@ -305,6 +335,7 @@ def group_fanout_table(
             packed.take(pa.array(np.arange(a, a + n), pa.int64())),
             key,
             batch_format,
+            whole_bucket,
         )
         for a, n in bin_offs
     ]
