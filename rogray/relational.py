@@ -423,9 +423,15 @@ def events_sessionize(sf_dir: str, gap_seconds: int = 1800):
     )
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # group-union-safe over disjoint user sets: sorting puts each
+        # user's events contiguous and a user change always starts a new
+        # session, so one vectorized pass over a multi-user bucket equals
+        # the per-user result (whole_bucket fan-out; also valid per group)
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
         t_us = g["ts"].astype("datetime64[us]").astype("int64")
-        new_s = (t_us.diff() > gap_seconds * 1_000_000).fillna(False).astype(int)
+        new_s = (t_us.diff() > gap_seconds * 1_000_000) | g["user_id"].ne(
+            g["user_id"].shift()
+        )
         sid = new_s.cumsum()
         g = g.assign(t_us=t_us, sid=sid, value_c=_cents(g["value"]))
         out = g.groupby("sid", as_index=False).agg(
@@ -437,7 +443,7 @@ def events_sessionize(sf_dir: str, gap_seconds: int = 1800):
         return out[["user_id", "session_start_us", "n_events", "sum_value_c"]]
 
     out, ds = stages.small_group_fanout(
-        ds, ds, "user_id", sessions, batch_format="pandas"
+        ds, ds, "user_id", sessions, batch_format="pandas", whole_bucket=True
     )
     if out is not None:
         return out
