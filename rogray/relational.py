@@ -524,11 +524,21 @@ def events_asof_join(sf_dir: str):
     ).filter(expr="event_type == 'click' or event_type == 'error'")
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # group-union-safe over disjoint user sets (whole_bucket fan-out):
+        # sort puts each user's events contiguous; the shift is masked at
+        # user boundaries and the forward-fill is group-bounded, so the
+        # last click never leaks across users
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
         t_us = g["ts"].astype("datetime64[us]").astype("int64")
         is_click = (g["event_type"] == "click").to_numpy()
-        click_id = pd.Series(np.where(is_click, g["event_id"], np.nan)).shift(1).ffill()
-        click_t = pd.Series(np.where(is_click, t_us, np.nan)).shift(1).ffill()
+        click_id = pd.Series(np.where(is_click, g["event_id"], np.nan)).shift(1)
+        click_t = pd.Series(np.where(is_click, t_us, np.nan)).shift(1)
+        new_user = g["user_id"].ne(g["user_id"].shift()).to_numpy()
+        click_id[new_user] = np.nan
+        click_t[new_user] = np.nan
+        uid = g["user_id"].to_numpy()
+        click_id = click_id.groupby(uid).ffill()
+        click_t = click_t.groupby(uid).ffill()
         err = (g["event_type"] == "error").to_numpy() & click_id.notna().to_numpy()
         out = pd.DataFrame(
             {
@@ -543,7 +553,7 @@ def events_asof_join(sf_dir: str):
         return out
 
     out, ds = stages.small_group_fanout(
-        ds, ds, "user_id", asof, batch_format="pandas"
+        ds, ds, "user_id", asof, batch_format="pandas", whole_bucket=True
     )
     if out is not None:
         return out
@@ -587,12 +597,35 @@ def events_window_stats(sf_dir: str, window_seconds: int = 600):
     w_us = window_seconds * 1_000_000
 
     def win(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # group-union-safe over disjoint user sets (whole_bucket fan-out):
+        # after the (user, ts) sort each user occupies one contiguous
+        # segment; searchsorted runs on a composite key seg_id*span + t0
+        # whose per-segment bands are w_us apart, so a window can never
+        # cross a user boundary.  span fits int64 comfortably for any
+        # driver-bounded bucket; the per-segment loop is the (equally
+        # correct) guard for pathological spans.
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
         t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         v = _cents(g["value"])
         csum = np.concatenate([[0], np.cumsum(v)])
-        hi = np.searchsorted(t, t, side="right")
-        lo = np.searchsorted(t, t - w_us, side="left")
+        uid = g["user_id"].to_numpy()
+        new_seg = np.concatenate([[True], uid[1:] != uid[:-1]]) if len(uid) else np.empty(0, bool)
+        seg_id = np.cumsum(new_seg) - 1 if len(uid) else np.empty(0, np.int64)
+        n_seg = int(seg_id[-1]) + 1 if len(uid) else 0
+        t0 = t - t.min() if len(t) else t
+        span = (int(t0.max()) if len(t0) else 0) + w_us + 2
+        if n_seg * span < (1 << 62):
+            key = seg_id.astype(np.int64) * span + t0
+            hi = np.searchsorted(key, key, side="right")
+            lo = np.searchsorted(key, key - w_us, side="left")
+        else:
+            starts = np.flatnonzero(new_seg)
+            ends = np.concatenate([starts[1:], [len(t)]])
+            hi = np.empty(len(t), np.int64)
+            lo = np.empty(len(t), np.int64)
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                hi[s:e] = s + np.searchsorted(t[s:e], t[s:e], side="right")
+                lo[s:e] = s + np.searchsorted(t[s:e], t[s:e] - w_us, side="left")
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
@@ -604,7 +637,7 @@ def events_window_stats(sf_dir: str, window_seconds: int = 600):
         )
 
     out, ds = stages.small_group_fanout(
-        ds, ds, "user_id", win, batch_format="pandas"
+        ds, ds, "user_id", win, batch_format="pandas", whole_bucket=True
     )
     if out is not None:
         return out

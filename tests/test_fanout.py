@@ -352,3 +352,89 @@ def test_finalize_parts_matches_dataset_join(ray_session):
         return df.sort_values(["winner_pk", "tile", "wkb_hex"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(run(True), run(False))
+
+
+def test_whole_bucket_kernels_union_safe(ray_session):
+    """The whole_bucket fan-out calls the kernel ONCE on a multi-user
+    bucket; pin fn(union) == concat(per-group fn) for the three relational
+    kernels that opted in, including the window kernel's overflow-guard
+    per-segment loop branch."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 600
+    base = 1_700_000_000_000_000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 37, n),
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 3_600_000_000 * 48, n), unit="us"
+            ),
+            "value": rng.uniform(-5, 50, n).round(2),
+            "event_type": rng.choice(["click", "error", "view"], n),
+        }
+    )
+
+    from rogray import relational
+
+    def canon(out: pd.DataFrame) -> pd.DataFrame:
+        return (
+            out.sort_values(list(out.columns))
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns if c != "user_id" and out[c].dtype != object})
+        )
+
+    import tempfile, os, pyarrow as pa, pyarrow.parquet as pq
+    import ray.data as rd
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(d, "events.parquet"))
+        for build, sql_cols in (
+            (relational.events_sessionize, None),
+            (relational.events_asof_join, None),
+            (relational.events_window_stats, None),
+        ):
+            got = build(d)
+            got = got.to_pandas() if hasattr(got, "to_pandas") else got
+            import duckdb
+
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+            )
+            name = build.__name__ + "_sql"
+            want = con.execute(getattr(relational, name)()).fetchdf()
+            g = canon(got.copy())
+            w = canon(want.copy())
+            pd.testing.assert_frame_equal(
+                g.reset_index(drop=True), w[g.columns].pipe(canon), check_dtype=False
+            )
+
+    # overflow-guard loop branch of the window kernel: n_seg * span >= 2^62
+    # needs ~550 years of timestamp span x >=270 user segments (a span this
+    # wide can't arise from one user within pandas' ns-datetime range, so
+    # the guard is belt-and-braces — but it must be correct when hit)
+    big = df.copy()
+    big["user_id"] = np.arange(n, dtype=np.int64)  # every row its own segment
+    lo_us = int(pd.Timestamp("1700-01-01").value // 1000)
+    hi_us = int(pd.Timestamp("2250-01-01").value // 1000)
+    big["ts"] = pd.to_datetime(rng.integers(lo_us, hi_us, n), unit="us")
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
+                       os.path.join(d, "events.parquet"))
+        got = relational.events_window_stats(d)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = con.execute(relational.events_window_stats_sql()).fetchdf()
+        g = canon(got.copy())
+        pd.testing.assert_frame_equal(
+            g.reset_index(drop=True), want[g.columns].pipe(canon), check_dtype=False
+        )
