@@ -998,16 +998,19 @@ def rect_nearest_join_sql() -> str:
 WITH {_RECT_CTE},
 {_POINT_CTE.strip()}
 SELECT point_id, nearest_pk, d2_px FROM (
-    SELECT p.point_id, r.k AS nearest_pk,
-           POWER(GREATEST(r.x1 - p.px, p.px - r.x2, 0), 2)
-         + POWER(GREATEST(r.y1 - p.py, p.py - r.y2, 0), 2) AS d2_px,
+    -- d2 via integer multiplication so the oracle returns BIGINT like the
+    -- engine's int64 d2_px (POWER() would return DOUBLE and hash-mismatch
+    -- under a dtype-strict comparer).
+    SELECT point_id, nearest_pk, d2_px,
            ROW_NUMBER() OVER (
-               PARTITION BY p.point_id
-               ORDER BY POWER(GREATEST(r.x1 - p.px, p.px - r.x2, 0), 2)
-                      + POWER(GREATEST(r.y1 - p.py, p.py - r.y2, 0), 2),
-                        r.k
+               PARTITION BY point_id ORDER BY d2_px, nearest_pk
            ) AS rn
-    FROM pt p CROSS JOIN rect r
+    FROM (
+        SELECT p.point_id, r.k AS nearest_pk,
+               GREATEST(r.x1 - p.px, p.px - r.x2, 0) * GREATEST(r.x1 - p.px, p.px - r.x2, 0)
+             + GREATEST(r.y1 - p.py, p.py - r.y2, 0) * GREATEST(r.y1 - p.py, p.py - r.y2, 0) AS d2_px
+        FROM pt p CROSS JOIN rect r
+    )
 ) WHERE rn = 1
 ORDER BY point_id
 """

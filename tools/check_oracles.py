@@ -33,10 +33,13 @@ def value_hash(df: pd.DataFrame) -> str:
         elif str(col.dtype).startswith("datetime"):
             df[c] = col.astype("int64")
         elif col.dtype == float:
-            if col.notna().all() and (col % 1 == 0).all():
-                df[c] = col.astype("int64")
-            else:
-                df[c] = col.round(9)
+            # Dtype-strict: do NOT coerce integral floats to int64 — the
+            # driver's hasher doesn't, so a float-vs-int64 column dtype
+            # asymmetry between engine and oracle must fail HERE too
+            # (round-4 lesson: rect_nearest_join passed locally, failed on
+            # the driver, because this coercion masked an oracle POWER()
+            # DOUBLE vs engine int64 mismatch).
+            df[c] = col.round(9)
     rows = sorted(tuple(map(str, r)) for r in df.itertuples(index=False))
     h = hashlib.md5()
     for r in rows:
