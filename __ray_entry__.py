@@ -215,15 +215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_overlap_pairs": lambda sf: __import__(
             "rogray.rectlayer", fromlist=["rect_overlap_pairs"]
         ).rect_overlap_pairs(sf),
-        "rect_coverage_depth": lambda sf: __import__(
-            "rogray.rectlayer", fromlist=["rect_coverage_depth"]
-        ).rect_coverage_depth(sf),
         "rect_pip_join": lambda sf: __import__(
             "rogray.rectlayer", fromlist=["rect_pip_join"]
         ).rect_pip_join(sf),
-        "rect_resolve_winner_areas": lambda sf: __import__(
-            "rogray.rectlayer", fromlist=["rect_resolve_winner_areas"]
-        ).rect_resolve_winner_areas(sf),
         "rect_resolve_cov_areas": lambda sf: __import__(
             "rogray.rectlayer", fromlist=["rect_resolve_cov_areas"]
         ).rect_resolve_cov_areas(sf),
@@ -325,8 +319,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).customers_without_orders(sf),
         # ------------------------------------------------------------------
         # position 51+ (outside the driver's window; checked by
-        # tools/check_oracles.py and pytest instead)
+        # tools/check_oracles.py and pytest instead).  54 oracle-backed
+        # entries compete for 50 slots: the round-5 rotation spills
+        # rect_coverage_depth (same detector code path as the in-window
+        # rect_overlap_pairs) and rect_resolve_winner_areas (same resolve
+        # path as the in-window rect_resolve_cov_areas) so all four
+        # fact×fact join kernels are driver-checked; events_hourly /
+        # orders_monthly stay spilled (simple group-bys whose family is
+        # covered in-window by pricing_summary / orders_price_quantiles
+        # etc., and both were driver-green in CORRECTNESS_r03).
         # ------------------------------------------------------------------
+        "rect_coverage_depth": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_coverage_depth"]
+        ).rect_coverage_depth(sf),
+        "rect_resolve_winner_areas": lambda sf: __import__(
+            "rogray.rectlayer", fromlist=["rect_resolve_winner_areas"]
+        ).rect_resolve_winner_areas(sf),
         "events_hourly": lambda sf: relational.events_hourly(sf),
         "orders_monthly": lambda sf: relational.orders_monthly(sf),
         # --- geospatial engine (rows-only; value-checked via the rect_*
