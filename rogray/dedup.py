@@ -224,11 +224,19 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
     # consumed by the banding pass AND both attach passes: pin the (small)
     # signature table once instead of recomputing the minhashes 3x
     if input_refs:
+        import ray
         import ray.data as rd
 
-        sigs_ds = rd.from_arrow_refs(
-            stages.block_map_refs(input_refs, sig_rows)
-        ).materialize()
+        # a block_map_refs ref resolves to None when every block assigned
+        # to its task was a schema-less empty bundle; from_arrow_refs
+        # crashes on None blocks, so gather (the gate already bounds the
+        # input to the driver) and keep the typed survivors
+        sig_tbls = [
+            t for t in ray.get(stages.block_map_refs(input_refs, sig_rows)) if t is not None
+        ]
+        if not sig_tbls:
+            sig_tbls = [pa.table({"doc_id": pa.array([], id_type), "sig": pa.array([], pa.large_binary())})]
+        sigs_ds = rd.from_arrow(sig_tbls).materialize()
     else:
         sigs_ds = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
     nb = _n_buckets_for(sigs_ds.count())
@@ -1070,18 +1078,23 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
     # stages.small_input_refs); at 100 TB the gate pre-screen fails and
     # the streaming chain runs unchanged.
     input_refs, ds = stages.small_input_refs(ds)
-    if input_refs:
-        import ray.data as rd
-
-        grams_ds = rd.from_arrow_refs(
-            stages.block_map_refs(input_refs, gram_rows)
-        ).materialize()
-    else:
-        grams_ds = ds.map_batches(gram_rows, batch_format="pyarrow").materialize()
-    nb = _n_buckets_for(grams_ds.count())
     grams_schema = pa.schema(
         [("doc_id", ds.schema().base_schema.field("doc_id").type), ("grams", pa.large_binary())]
     )
+    if input_refs:
+        import ray
+        import ray.data as rd
+
+        # gather + filter: a block_map_refs ref resolves to None when its
+        # task's every block was a schema-less empty bundle, and a None
+        # block crashes from_arrow_refs (input is driver-bounded here)
+        gram_tbls = [
+            t for t in ray.get(stages.block_map_refs(input_refs, gram_rows)) if t is not None
+        ] or [grams_schema.empty_table()]
+        grams_ds = rd.from_arrow(gram_tbls).materialize()
+    else:
+        grams_ds = ds.map_batches(gram_rows, batch_format="pyarrow").materialize()
+    nb = _n_buckets_for(grams_ds.count())
 
     # prefix ORDER: any consistent global order is exact; ordering hot
     # (document-frequent) grams LAST keeps them out of prefixes, so the

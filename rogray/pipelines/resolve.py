@@ -516,13 +516,18 @@ def _finalize_join(stitched, ds, grid, utm, slim_fut=None):
     that crash Ray's hash-join schema broadcast."""
     from ..dedup import _n_buckets_for
 
-    # docs are read_parquet / in-memory sources at every call site, so
-    # count()/size_bytes() are metadata lookups, not executions
-    nb = _n_buckets_for(max(1, ds.count()) * 8)
-    try:
-        doc_bytes = ds.size_bytes() or 0
-    except Exception:
-        doc_bytes = _BCAST_PRESCREEN_LIMIT + 1
+    # metadata-only probes: safe_count/safe_size_bytes read leaf-source
+    # metadata for derived inputs instead of executing their plans (the
+    # old direct count()/size_bytes() calls eagerly executed the full doc
+    # plan whenever a caller passed a transformed dataset)
+    n_docs = stages.safe_count(ds)
+    if n_docs is None:
+        sz = stages.safe_size_bytes(ds)
+        n_docs = max(1, (sz or 0) // 512)  # rough rows-from-bytes estimate
+    nb = _n_buckets_for(max(1, n_docs) * 8)
+    doc_bytes = stages.safe_size_bytes(ds)
+    if doc_bytes is None:
+        doc_bytes = _BCAST_PRESCREEN_LIMIT + 1  # unknown: assume big
     # two-stage gate: the cheap metadata size (compressed parquet bytes of
     # the FULL doc table — geometry included) only pre-screens; the binding
     # gate is the DECODED slim payload's size_bytes().  The slim payload
@@ -667,11 +672,8 @@ def _slim_prefetch(ds):
     beyond the parquet scan; Ray Data executes concurrent datasets on
     independent streaming executors).  Returns a Future or None when the
     metadata pre-screen says the shuffle join will be taken anyway."""
-    try:
-        doc_bytes = ds.size_bytes() or 0
-    except Exception:
-        return None
-    if doc_bytes > _BCAST_PRESCREEN_LIMIT:
+    doc_bytes = stages.safe_size_bytes(ds)  # never executes a derived plan
+    if doc_bytes is None or doc_bytes > _BCAST_PRESCREEN_LIMIT:
         return None
     from concurrent.futures import ThreadPoolExecutor
 
@@ -788,9 +790,8 @@ def _finalize_parts(interior_tbl, stitch_refs, ds, grid, utm, slim_fut=None):
     the broadcast gates — the last Ray Data execution of the headline
     replaced by direct task submits.  Falls back to the Dataset join
     (reduce-side shuffle) on a reconstituted dataset otherwise."""
-    try:
-        doc_bytes = ds.size_bytes() or 0
-    except Exception:
+    doc_bytes = stages.safe_size_bytes(ds)  # never executes a derived plan
+    if doc_bytes is None:
         doc_bytes = _BCAST_PRESCREEN_LIMIT + 1
     slim = None
     if doc_bytes <= _BCAST_PRESCREEN_LIMIT:

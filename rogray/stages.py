@@ -184,6 +184,14 @@ def _group_fanout_task(
             if r is not None:
                 outs.append(r)
     if not outs:
+        if batch_format != "pandas":
+            # pyarrow fns are schema-owning by contract: recover a typed
+            # 0-row block from fn(empty) so a bucket whose every group was
+            # dropped never emits a None block into from_arrow_refs
+            try:
+                return fn(tbl.slice(0, 0))
+            except Exception:
+                return None
         return None
     if batch_format == "pandas":
         # one pandas concat, then one Arrow conversion: pandas unifies
@@ -221,6 +229,70 @@ def _group_runs(tbl: pa.Table, keys) -> tuple[np.ndarray, np.ndarray, np.ndarray
     starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
     ends = np.concatenate([starts[1:], [len(ks)]])
     return starts, ends, order
+
+
+def safe_size_bytes(ds):
+    """Input size of ``ds`` WITHOUT executing anything, or ``None``.
+
+    ``ds.size_bytes()`` on a derived (transformed) dataset EXECUTES its
+    plan (verified on Ray 2.49), which would turn the "nothing executes
+    on pre-screen rejection" guarantee of the fan-out gates into a full
+    eager execution at 100 TB.  Instead: a materialized dataset reports
+    its true in-memory size (metadata lookup); any other dataset reports
+    the SUM OF ITS LEAF SOURCES' metadata sizes (compressed on-disk bytes
+    for parquet ``Read`` leaves — the same pre-screen bound callers got
+    by passing the source dataset directly, now derived automatically for
+    ``read().map_batches()/filter()/union()``-shaped pipeline inputs).
+    At 100 TB the leaf sum is huge and the gate rejects without running a
+    single task; at small scale the gate's second stage (true size of the
+    materialized grouped table) still guards against plan expansion.
+    Returns ``None`` when any leaf lacks size metadata — callers treat
+    that as gate-fail."""
+    try:
+        if ds._plan.has_computed_output():
+            return ds.size_bytes()
+        total = 0
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            deps = op.input_dependencies
+            if deps:
+                stack.extend(deps)
+                continue
+            sz = getattr(op.infer_metadata(), "size_bytes", None)
+            if sz is None:
+                return None
+            total += sz
+        return total
+    except Exception:
+        return None
+
+
+def safe_count(ds):
+    """Row count of ``ds`` WITHOUT executing anything, or ``None``:
+    true count for materialized datasets, sum of leaf-source metadata row
+    counts otherwise (exact for row-preserving plans, an upper bound for
+    filters — callers use it only to SIZE bucket counts, never for
+    correctness).  Same rationale as :func:`safe_size_bytes`:
+    ``ds.count()`` on a derived dataset executes its plan."""
+    try:
+        if ds._plan.has_computed_output():
+            return ds.count()
+        total = 0
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            deps = op.input_dependencies
+            if deps:
+                stack.extend(deps)
+                continue
+            n = getattr(op.infer_metadata(), "num_rows", None)
+            if n is None:
+                return None
+            total += n
+        return total
+    except Exception:
+        return None
 
 
 def small_group_fanout(
@@ -266,7 +338,11 @@ def small_group_fanout(
         return None, grouped
     if hint_ds is not None:
         hints = hint_ds if isinstance(hint_ds, (list, tuple)) else (hint_ds,)
-        if sum((h.size_bytes() or limit + 1) for h in hints) > limit:
+        # safe_size_bytes: a hint whose size cannot be read from metadata
+        # (derived dataset) FAILS the pre-screen rather than executing its
+        # plan — callers must pass the pre-transform read_parquet dataset
+        # (a safe upper bound), a materialized dataset, or None.
+        if sum((safe_size_bytes(h) or limit + 1) for h in hints) > limit:
             return None, grouped
     grouped = grouped.materialize()
     if (grouped.size_bytes() or limit + 1) > limit:
@@ -353,7 +429,11 @@ def group_fanout_table(
         # ngram-jaccard attach+verify chain)
         n_out = max(1, min(len(refs), len(unified)))
         step = -(-len(unified) // n_out)
-        slices = [unified.slice(i, step) for i in range(0, len(unified), step)]
+        # combine_chunks like the sibling call sites: a zero-copy slice
+        # pickles its parent's FULL buffers into every emitted block
+        slices = [
+            unified.slice(i, step).combine_chunks() for i in range(0, len(unified), step)
+        ]
         return rd.from_arrow(slices)
     return rd.from_arrow_refs(refs)
 
@@ -381,7 +461,9 @@ def small_input_refs(ds, limit: int | None = None):
     100 TB the pre-screen never passes and nothing executes."""
     if limit is None:
         limit = SMALL_FANOUT_LIMIT
-    if limit <= 0 or (ds.size_bytes() or limit + 1) > limit:
+    # safe_size_bytes: pre-screen must stay metadata-only — a derived input
+    # whose size cannot be read without executing fails the gate instead.
+    if limit <= 0 or (safe_size_bytes(ds) or limit + 1) > limit:
         return None, ds
     m = ds.materialize()
     if (m.size_bytes() or limit + 1) > limit:

@@ -438,3 +438,61 @@ def test_whole_bucket_kernels_union_safe(ray_session):
         pd.testing.assert_frame_equal(
             g.reset_index(drop=True), want[g.columns].pipe(canon), check_dtype=False
         )
+
+
+def test_safe_size_bytes_never_executes_derived_plans(ray_session):
+    """The fan-out pre-screen must be metadata-only: safe_size_bytes on a
+    derived dataset walks the logical plan to its leaf sources instead of
+    executing (ds.size_bytes() on a derived dataset EXECUTES its plan on
+    Ray 2.49).  The poisoned map fn proves no task ever ran."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rogray import stages
+
+    src = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+    on_disk = src.size_bytes()  # metadata lookup for a parquet source
+
+    def boom(t):
+        raise RuntimeError("plan executed during pre-screen")
+
+    derived = src.map_batches(boom, batch_format="pyarrow")
+    # leaf-source sum == the parquet metadata size, computed without
+    # running a single task (boom would raise)
+    assert stages.safe_size_bytes(derived) == on_disk
+    assert stages.safe_count(derived) == pq.read_metadata(
+        f"{SF}/events.parquet"
+    ).num_rows
+
+    # union / filter shapes resolve through the walk too
+    u = derived.union(src.filter(expr="event_id > 5"))
+    assert stages.safe_size_bytes(u) == 2 * on_disk
+
+    # materialized datasets report their true in-memory size
+    m = src.materialize()
+    assert stages.safe_size_bytes(m) == m.size_bytes()
+    assert stages.safe_count(m) == m.count()
+
+
+def test_fanout_gate_rejects_unsizable_hint_without_executing(ray_session):
+    """A derived hint whose plan would have to run to learn its size FAILS
+    the pre-screen (streaming fallback) rather than executing it."""
+    import ray.data as rd
+
+    from rogray import stages
+
+    tbl = pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array([1.0, 2.0, 3.0])})
+    grouped = rd.from_arrow(tbl)
+
+    executed = []
+
+    class Unsizable:
+        """Quacks like a Dataset but has no readable plan metadata."""
+
+        def size_bytes(self):
+            executed.append(True)
+            return 1
+
+    out, _ = stages.small_group_fanout(Unsizable(), grouped, "k", _make_sum_by_key())
+    assert out is None  # gate failed -> caller takes the streaming groupby
+    assert not executed  # and size_bytes was never called on the hint
