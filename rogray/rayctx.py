@@ -107,19 +107,39 @@ def _patch_hash_shuffle_empty_partitions() -> None:
 
         if _hs.Concat is not _EmptySafeConcat and _EmptySafeConcat is not None:
             _hs.Concat = _EmptySafeConcat
-        # Shard pushes to the stateful aggregator actors are NOT
+        # Stock shard pushes to the stateful aggregator actors are NOT
         # idempotent: ``_shuffle_block`` awaits each ``aggregator.submit``
         # as it goes, so a worker crash BETWEEN the first accepted shard
         # and task completion followed by Ray's default task retry
         # (max_retries=3 on worker crash) re-submits the already-accepted
         # shards — silent row duplication, surfacing as e.g. residual
         # overlap pairs in a resolved layer.  At 100 TB, preemption/OOM
-        # worker kills are routine, so the default would corrupt results
-        # exactly when the cluster is under pressure.  Fail the execution
-        # loudly instead and lean on the phase-granular checkpoints
-        # (state/manifest.py) for recovery; deployments that prefer the
-        # retry-with-duplication risk can override via env.
-        n_retries = int(os.environ.get("ROGRAY_SHUFFLE_TASK_RETRIES", "0"))
+        # worker kills are routine, so the stock default would corrupt
+        # results exactly when the cluster is under pressure.
+        #
+        # Fix: rebind the shuffle task and the aggregator actor (same
+        # pickled-by-reference mechanics as the Concat rebind above) to
+        # retry-safe versions — every push is tagged with the task's
+        # retry-stable TaskID and the aggregator drops re-pushed
+        # (task, sequence, partition) shards before accept, making the
+        # push idempotent and worker-crash retries exact.  With the
+        # rebind in place retries are re-enabled (default 3); if a future
+        # Ray changes these internals the rebind is skipped and retries
+        # stay DISABLED (fail loudly + resumable-job checkpoints rather
+        # than silent duplication).
+        retry_safe = (
+            _RetrySafeAggregator is not None
+            and _retry_safe_shuffle_block is not None
+            and not os.environ.get("ROGRAY_NO_RETRY_SAFE_SHUFFLE")
+        )
+        if retry_safe:
+            if _hs.HashShuffleAggregator is not _RetrySafeAggregator:
+                _hs.HashShuffleAggregator = _RetrySafeAggregator
+            if _hs._shuffle_block is not _retry_safe_shuffle_block:
+                _hs._shuffle_block = _retry_safe_shuffle_block
+        n_retries = int(
+            os.environ.get("ROGRAY_SHUFFLE_TASK_RETRIES", "3" if retry_safe else "0")
+        )
         _hs._shuffle_block._default_options["max_retries"] = n_retries
     except Exception:  # pragma: no cover - future-Ray guard
         pass
@@ -142,6 +162,167 @@ try:
 
 except Exception:  # pragma: no cover - future-Ray guard
     _EmptySafeConcat = None
+
+
+# ---------------------------------------------------------------------------
+# retry-safe shard push (see _patch_hash_shuffle_empty_partitions)
+#
+# The replacement shuffle task mirrors Ray 2.49's ``_shuffle_block``
+# (hash-partition the block, push each shard to its aggregator, await all
+# accepts) with ONE protocol change: every ``submit`` carries a
+# ``push_key = (task_id, input_seq, partition)`` whose task component is
+# STABLE ACROSS RETRIES (Ray re-executes a crashed task under the same
+# TaskID with a bumped attempt number), and the aggregator refuses shards
+# whose key it has already accepted.  A worker that crashes after pushing
+# k of its n shards re-pushes all n on retry; the first k are dropped at
+# the aggregator, so the exchange result is exactly-once regardless of
+# where the crash landed.
+# ---------------------------------------------------------------------------
+
+_FAULT_ENV = "ROGRAY_SHUFFLE_FAULT_INJECT"
+
+
+def _retry_safe_shuffle_block_impl(
+    block,
+    input_index: int,
+    key_columns,
+    pool,
+    block_transformer=None,
+    send_empty_blocks: bool = False,
+    override_partition_id=None,
+):
+    from ray.data._internal.execution.operators import hash_shuffle as _hs
+
+    stats = _hs.BlockExecStats.builder()
+    assert (len(key_columns) > 0) ^ (override_partition_id is not None)
+
+    if block_transformer is not None:
+        block = block_transformer(block)
+    block = _hs.TableBlockAccessor.try_convert_block_type(
+        block, block_type=_hs.BlockType.ARROW
+    )
+    if block.num_rows == 0:
+        empty = _hs.BlockAccessor.for_block(block).get_metadata(
+            exec_stats=stats.build()
+        )
+        return (empty, {})
+
+    num_partitions = pool.num_partitions
+    if key_columns:
+        block_partitions = _hs.hash_partition(
+            block, hash_cols=key_columns, num_partitions=num_partitions
+        )
+    else:
+        assert 0 <= override_partition_id < num_partitions
+        block_partitions = {override_partition_id: block}
+
+    # retry-stable identity: Ray keeps the TaskID constant across retries
+    # of the same task (only the attempt number changes)
+    rt = ray.get_runtime_context()
+    task_key = rt.get_task_id()
+    attempt = getattr(rt, "get_attempt_number", lambda: 0)()
+
+    # test-only fault hook: crash THIS worker once, mid-push, to exercise
+    # the retry path deterministically (never set outside tests)
+    fault_path = os.environ.get(_FAULT_ENV)
+    inject_fault = False
+    if fault_path and attempt == 0:
+        try:
+            with open(fault_path, "x"):
+                inject_fault = True  # first _shuffle_block task to get here
+        except FileExistsError:
+            pass
+
+    partition_shards_stats = {}
+    pending = []
+    n_pushed = 0
+    n_nonempty = sum(1 for p in block_partitions.values() if p.num_rows > 0)
+    for partition_id in range(num_partitions):
+        partition_shard = block_partitions.get(partition_id)
+        if partition_shard is None:
+            if not send_empty_blocks:
+                continue
+            partition_shard = _hs._create_empty_table(block.schema)
+        if partition_shard.num_rows > 0:
+            partition_shards_stats[partition_id] = _hs._PartitionStats.for_table(
+                partition_shard
+            )
+        aggregator = pool.get_aggregator_for_partition(partition_id)
+        partition_ref = ray.put(partition_shard)
+        pending.append(
+            aggregator.submit.remote(
+                input_index,
+                partition_id,
+                partition_ref,
+                (task_key, input_index, partition_id),
+            )
+        )
+        if partition_shard.num_rows > 0:
+            n_pushed += 1
+            if inject_fault and n_pushed * 2 >= n_nonempty:
+                # half the shards pushed AND accepted — now die like a
+                # preempted worker would
+                ray.get(pending)
+                os._exit(1)
+
+    while pending:
+        _, pending = ray.wait(pending, num_returns=len(pending), timeout=1)
+
+    meta = _hs.BlockAccessor.for_block(block).get_metadata(exec_stats=stats.build())
+    return (meta, partition_shards_stats)
+
+
+try:
+    from ray.data._internal.execution.operators.hash_shuffle import (  # noqa: F401
+        BlockMetadataWithSchema as _BMWS,
+    )
+    import threading as _threading
+
+    _retry_safe_shuffle_block = ray.remote(_retry_safe_shuffle_block_impl)
+
+    @ray.remote
+    class _RetrySafeAggregator:
+        """Drop-in for Ray 2.49's ``HashShuffleAggregator`` that drops
+        re-pushed shards (same ``push_key``) before accept — the actor
+        half of the retry-safe shard push above."""
+
+        _DEFAULT_ACTOR_MAX_CONCURRENCY = 1
+
+        def __init__(self, aggregator_id, target_partition_ids, agg_factory):
+            self._lock = _threading.Lock()
+            self._agg = agg_factory(aggregator_id, target_partition_ids)
+            self._accepted_push_keys = set()
+            # test-only: lets the crash-retry test prove it DETECTS the
+            # stock duplication (a control run with dedup off must show
+            # duplicated rows, or the exact-match assertion is vacuous)
+            self._dedup = not os.environ.get("ROGRAY_SHUFFLE_DEDUP_OFF")
+
+        def submit(self, input_seq_id, partition_id, partition_shard, push_key=None):
+            with self._lock:
+                if push_key is not None and self._dedup:
+                    if push_key in self._accepted_push_keys:
+                        return  # duplicate push from a retried task
+                    self._accepted_push_keys.add(push_key)
+                self._agg.accept(input_seq_id, partition_id, partition_shard)
+
+        def finalize(self, partition_id):
+            from ray.data._internal.execution.operators import hash_shuffle as _hs
+
+            with self._lock:
+                exec_stats_builder = _hs.BlockExecStats.builder()
+                block = self._agg.finalize(partition_id)
+                exec_stats = exec_stats_builder.build()
+                self._agg.clear(partition_id)
+                # release the dedup keys of the finalized partition
+                self._accepted_push_keys = {
+                    k for k in self._accepted_push_keys if k[2] != partition_id
+                }
+            yield block
+            yield _BMWS.from_block(block, stats=exec_stats)
+
+except Exception:  # pragma: no cover - future-Ray guard
+    _retry_safe_shuffle_block = None
+    _RetrySafeAggregator = None
 
 
 def _stamp_hash_shuffle(ctx) -> None:

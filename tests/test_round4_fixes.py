@@ -360,20 +360,28 @@ def test_hash_shuffle_tolerates_empty_exchanges(ray_session):
     assert list(got["k"]) == [1, 2] and list(got["n"]) == [8, 4]
 
 
-def test_hash_shuffle_tasks_do_not_retry():
-    """Shard pushes to the stateful shuffle aggregators are not
+def test_hash_shuffle_retry_policy():
+    """Stock shard pushes to the stateful shuffle aggregators are not
     idempotent: a `_shuffle_block` worker crash after its first accepted
     shard, followed by Ray's default crash-retry, re-submits the accepted
-    shards and silently DUPLICATES rows (e.g. phantom residual overlaps
-    in a resolved layer).  rogray pins max_retries=0 on the shuffle task
-    so a mid-push crash fails the execution loudly instead; recovery is
-    the job-level resume via the phase checkpoints."""
+    shards and silently DUPLICATES rows.  Round 5 makes the push
+    idempotent (retry-stable TaskID push keys, deduped at the aggregator
+    — see tests/test_shuffle_retry.py for the kill-a-worker proof), so
+    retries are RE-ENABLED when — and only when — the retry-safe rebind
+    is in place; if a future Ray breaks the rebind, retries must fall
+    back to 0 (fail loudly + resumable checkpoints, never silent
+    duplication)."""
     from ray.data._internal.execution.operators import hash_shuffle as hs
 
-    from rogray.rayctx import _patch_hash_shuffle_empty_partitions
+    import rogray.rayctx as rayctx
 
-    _patch_hash_shuffle_empty_partitions()
-    assert hs._shuffle_block._default_options.get("max_retries") == 0
+    rayctx._patch_hash_shuffle_empty_partitions()
+    if rayctx._retry_safe_shuffle_block is not None:
+        assert hs._shuffle_block is rayctx._retry_safe_shuffle_block
+        assert hs.HashShuffleAggregator is rayctx._RetrySafeAggregator
+        assert hs._shuffle_block._default_options.get("max_retries") == 3
+    else:  # pragma: no cover - future-Ray fallback
+        assert hs._shuffle_block._default_options.get("max_retries") == 0
     # the call site merges these defaults under its resource overrides,
     # which never set max_retries — assert the merge preserves the pin
     merged = hs._shuffle_block.options(num_cpus=0.5)
