@@ -884,10 +884,14 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
     Ties break by pk ascending (deterministic, matches the SQL oracle).
 
     Geometries whose bbox covers more than `giant_cells` cells skip the
-    cover table and are evaluated exactly for EVERY point in round 0; more
-    than `max_giants` of them raises (pick a coarser `level` — a layer
-    where thousands of geometries each span a quarter of the frame has no
-    grid-file locality to exploit at this level)."""
+    cover table and are evaluated exactly for EVERY point in round 0; when
+    more than `max_giants` of them show up at the requested `level`, the
+    join AUTO-COARSENS — it rebuilds the cover at level-2, level-4, ...
+    (each step shrinks every bbox's cell count ~16x) until the giant set
+    fits.  `level` is performance-only, so the result is identical; a
+    warning logs each step.  Only an unsatisfiable `giant_cells` (one a
+    single cell can't satisfy even at level 0, where every bbox covers
+    exactly 1 cell) still raises."""
     import pyarrow.compute as pc
 
     from .dedup import _n_buckets_for
@@ -897,67 +901,86 @@ def nearest_geom_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = None
         input_refs, polys_docs_ds = stages.small_input_refs(polys_docs_ds)
         plan = prepare(polys_docs_ds, cfg, input_refs=input_refs)
     grid = plan.grid
-    w = int(grid.span_px) >> level
-    if w <= 0:
+    if int(grid.span_px) >> level <= 0:
         raise ValueError(f"level {level} finer than the snap grid")
-    n = 1 << level
 
     unwrapped = polys_docs_ds.map_batches(stages.Unwrap(grid), batch_format="pyarrow")
 
-    def _bbox_cells_counts(t: pa.Table):
-        mnx = np.clip(t["minx"].to_numpy() // w, 0, n - 1)
-        mny = np.clip(t["miny"].to_numpy() // w, 0, n - 1)
-        mxx = np.clip(t["maxx"].to_numpy() // w, 0, n - 1)
-        mxy = np.clip(t["maxy"].to_numpy() // w, 0, n - 1)
-        cnt = (mxx - mnx + 1) * (mxy - mny + 1)
-        return mnx, mny, mxx, mxy, cnt
+    def _cover_at(w: int, n: int):
+        def cover_rows(t: pa.Table) -> pa.Table:
+            """Cover rows + giant markers in ONE pass: geometries whose
+            bbox spans more than giant_cells cells emit a single cell=-1
+            row instead of a cover expansion, so the (decode-heavy)
+            Unwrap upstream runs once, not once per derived table."""
+            mnx = np.clip(t["minx"].to_numpy() // w, 0, n - 1)
+            mny = np.clip(t["miny"].to_numpy() // w, 0, n - 1)
+            mxx = np.clip(t["maxx"].to_numpy() // w, 0, n - 1)
+            mxy = np.clip(t["maxy"].to_numpy() // w, 0, n - 1)
+            cnt = (mxx - mnx + 1) * (mxy - mny + 1)
+            pk_all = t["pk"].to_numpy()
+            keep = cnt <= giant_cells
+            gpk = pk_all[~keep]
+            mnx, mny, mxx, mxy, cnt = (a[keep] for a in (mnx, mny, mxx, mxy, cnt))
+            pk = pk_all[keep]
+            nx = (mxx - mnx + 1).astype(np.int64)
+            total = int(cnt.sum())
+            ridx = np.repeat(np.arange(len(cnt)), cnt)
+            k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            nx_r = np.repeat(nx, cnt)
+            cx = np.repeat(mnx, cnt) + k % nx_r
+            cy = np.repeat(mny, cnt) + k // nx_r
+            cells = cx * np.int64(n) + cy
+            return pa.table(
+                {
+                    "cell": pa.array(
+                        np.concatenate([cells, np.full(len(gpk), -1, np.int64)]),
+                        pa.int64(),
+                    ),
+                    "pk": pa.array(np.concatenate([pk[ridx], gpk]), pa.int64()),
+                }
+            )
 
-    def cover_rows(t: pa.Table) -> pa.Table:
-        """Cover rows + giant markers in ONE pass: geometries whose bbox
-        spans more than giant_cells cells emit a single cell=-1 row instead
-        of a cover expansion, so the (decode-heavy) Unwrap upstream runs
-        once, not once per derived table."""
-        mnx, mny, mxx, mxy, cnt = _bbox_cells_counts(t)
-        pk_all = t["pk"].to_numpy()
-        keep = cnt <= giant_cells
-        gpk = pk_all[~keep]
-        mnx, mny, mxx, mxy, cnt = (a[keep] for a in (mnx, mny, mxx, mxy, cnt))
-        pk = pk_all[keep]
-        nx = (mxx - mnx + 1).astype(np.int64)
-        total = int(cnt.sum())
-        ridx = np.repeat(np.arange(len(cnt)), cnt)
-        k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-        nx_r = np.repeat(nx, cnt)
-        cx = np.repeat(mnx, cnt) + k % nx_r
-        cy = np.repeat(mny, cnt) + k // nx_r
-        cells = cx * np.int64(n) + cy
-        return pa.table(
-            {
-                "cell": pa.array(
-                    np.concatenate([cells, np.full(len(gpk), -1, np.int64)]),
-                    pa.int64(),
-                ),
-                "pk": pa.array(np.concatenate([pk[ridx], gpk]), pa.int64()),
-            }
-        )
-
-    covers = unwrapped.map_batches(cover_rows, batch_format="pyarrow").materialize()
+        return unwrapped.map_batches(cover_rows, batch_format="pyarrow").materialize()
 
     def only_giants(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
         return t.filter(_pc.equal(t["cell"], -1))
 
-    # bounded pull: take(cap+1) stops at the cap instead of collecting an
-    # adversarial giant set before raising
-    giant_take = covers.map_batches(only_giants, batch_format="pyarrow").take(
-        max_giants + 1
-    )
-    if len(giant_take) > max_giants:
-        raise ValueError(
-            f"nearest_geom_join: more than {max_giants} geometries exceed "
-            f"giant_cells={giant_cells} at level {level}; use a coarser level"
+    # auto-coarsen: rebuild the cover two levels coarser per round until
+    # the giant set fits (each step shrinks every bbox's cell count ~16x;
+    # level 0 is a guaranteed terminator for any giant_cells >= 1 since
+    # every bbox covers exactly one cell there)
+    while True:
+        w = int(grid.span_px) >> level
+        n = 1 << level
+        covers = _cover_at(w, n)
+        # bounded pull: take(cap+1) stops at the cap instead of collecting
+        # an adversarial giant set before deciding
+        giant_take = covers.map_batches(only_giants, batch_format="pyarrow").take(
+            max_giants + 1
         )
+        if len(giant_take) <= max_giants:
+            break
+        if level == 0:
+            raise ValueError(
+                f"nearest_geom_join: more than {max_giants} geometries "
+                f"exceed giant_cells={giant_cells} even at level 0 (where "
+                f"every bbox covers exactly 1 cell) — raise giant_cells "
+                f"or max_giants"
+            )
+        coarser = max(0, level - 2)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "nearest_geom_join: more than %d geometries exceed "
+            "giant_cells=%d at level %d; auto-coarsening to level %d",
+            max_giants,
+            giant_cells,
+            level,
+            coarser,
+        )
+        level = coarser
     giant_pks = np.sort(
         np.asarray([r["pk"] for r in giant_take], dtype=np.int64)
     )

@@ -65,8 +65,20 @@ class TestNearestJoinPaths:
         giants = _nearest_df(giant_cells=8)
         pd.testing.assert_frame_equal(default, giants)
 
-    def test_too_many_giants_raises(self, ray_session):
-        with pytest.raises(ValueError, match="coarser level"):
+    def test_giant_overflow_auto_coarsens(self, ray_session):
+        """max_giants=0 makes every giant an overflow at level 7; instead
+        of raising, the join must auto-coarsen until no bbox exceeds
+        giant_cells and return the identical result (level is
+        performance-only)."""
+        default = _nearest_df()
+        coarsened = _nearest_df(giant_cells=64, max_giants=0)
+        pd.testing.assert_frame_equal(default, coarsened)
+
+    def test_unsatisfiable_giant_cells_raises_at_level_0(self, ray_session):
+        """giant_cells=0 can never be satisfied (every bbox covers >= 1
+        cell at any level), so coarsening must terminate at level 0 with
+        a clear error instead of looping."""
+        with pytest.raises(ValueError, match="even at level 0"):
             _nearest_df(giant_cells=0, max_giants=1)
 
 
