@@ -89,17 +89,36 @@ def synth_polygon_docs(n: int, seed: int = 42) -> pa.Table:
     )
 
 
-def docs_path_for(sf_dir: str, n: int, seed: int = 42) -> str:
+def docs_path_for(sf_dir: str, n: int, seed: int = 42, shards: int = 1) -> str:
     """Write (once, cached) the synthetic polygon-doc table for a test scale.
 
     Cache key includes n and seed; lives under /tmp so reruns are free and
-    /root/testdata stays untouched.
-    """
-    cache = f"/tmp/rogray_fixtures/polydocs_n{n}_s{seed}.parquet"
-    if not os.path.exists(cache):
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
+    /root/testdata stays untouched.  ``shards > 1`` writes the SAME rows
+    as a directory of ``shards`` parquet files (contiguous row ranges) and
+    returns the directory — the shape of a real 100 TB input, which is
+    tens of thousands of shard files, never one; ``read_parquet`` on the
+    directory yields one read task per file, so ingest parallelism scales
+    with the shard count instead of being pinned to one file's row
+    groups."""
+    if shards <= 1:
+        cache = f"/tmp/rogray_fixtures/polydocs_n{n}_s{seed}.parquet"
+        if not os.path.exists(cache):
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            tmp = cache + ".tmp"
+            pq.write_table(synth_polygon_docs(n, seed), tmp)
+            os.replace(tmp, cache)
+        return cache
+    cache = f"/tmp/rogray_fixtures/polydocs_n{n}_s{seed}_k{shards}"
+    if not os.path.isdir(cache):
         tmp = cache + ".tmp"
-        pq.write_table(synth_polygon_docs(n, seed), tmp)
+        os.makedirs(tmp, exist_ok=True)
+        tbl = synth_polygon_docs(n, seed)
+        step = -(-len(tbl) // shards)
+        for i, off in enumerate(range(0, len(tbl), step)):
+            pq.write_table(
+                tbl.slice(off, step).combine_chunks(),
+                os.path.join(tmp, f"part-{i:05d}.parquet"),
+            )
         os.replace(tmp, cache)
     return cache
 
