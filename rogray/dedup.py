@@ -102,13 +102,13 @@ def exact_dedup(ds, col: str = "text"):
                 "h",
                 keep_first,
                 batch_format="pandas",
-                whole_bucket=True,
+                whole_bucket="exact_dedup.keep_first",
             )
             if out is not None:
                 return out
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     out, hashed = stages.small_group_fanout(
-        ds, hashed, "h", keep_first, batch_format="pandas", whole_bucket=True
+        ds, hashed, "h", keep_first, batch_format="pandas", whole_bucket="exact_dedup.keep_first"
     )
     if out is not None:
         return out

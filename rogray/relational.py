@@ -443,7 +443,7 @@ def events_sessionize(sf_dir: str, gap_seconds: int = 1800):
         return out[["user_id", "session_start_us", "n_events", "sum_value_c"]]
 
     out, ds = stages.small_group_fanout(
-        ds, ds, "user_id", sessions, batch_format="pandas", whole_bucket=True
+        ds, ds, "user_id", sessions, batch_format="pandas", whole_bucket="events_sessionize"
     )
     if out is not None:
         return out
@@ -553,7 +553,7 @@ def events_asof_join(sf_dir: str):
         return out
 
     out, ds = stages.small_group_fanout(
-        ds, ds, "user_id", asof, batch_format="pandas", whole_bucket=True
+        ds, ds, "user_id", asof, batch_format="pandas", whole_bucket="events_asof_join"
     )
     if out is not None:
         return out
@@ -637,7 +637,7 @@ def events_window_stats(sf_dir: str, window_seconds: int = 600):
         )
 
     out, ds = stages.small_group_fanout(
-        ds, ds, "user_id", win, batch_format="pandas", whole_bucket=True
+        ds, ds, "user_id", win, batch_format="pandas", whole_bucket="events_window_stats"
     )
     if out is not None:
         return out

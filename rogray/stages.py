@@ -231,6 +231,35 @@ def _group_runs(tbl: pa.Table, keys) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return starts, ends, order
 
 
+# Kernels declared GROUP-UNION-SAFE (fn(A ∪ B) == fn(A) ∪ fn(B) for
+# disjoint key sets) and therefore allowed to run ONCE per fan-out bucket
+# instead of once per group.  Opting in requires BOTH a registration here
+# (call sites pass the registered name, never a bare True) AND a
+# differential union-safety test case of the same name —
+# tests/test_fanout.py::test_whole_bucket_registry_covered fails when
+# either side is missing, so a new kernel cannot silently opt in.
+WHOLE_BUCKET_KERNELS = frozenset(
+    {
+        "exact_dedup.keep_first",
+        "events_sessionize",
+        "events_asof_join",
+        "events_window_stats",
+    }
+)
+
+
+def _check_whole_bucket(whole_bucket) -> bool:
+    if not whole_bucket:
+        return False
+    if whole_bucket is True or whole_bucket not in WHOLE_BUCKET_KERNELS:
+        raise ValueError(
+            "whole_bucket must be a kernel name registered in "
+            "stages.WHOLE_BUCKET_KERNELS (with a matching union-safety "
+            f"differential test), got {whole_bucket!r}"
+        )
+    return True
+
+
 def safe_size_bytes(ds):
     """Input size of ``ds`` WITHOUT executing anything, or ``None``.
 
@@ -302,10 +331,11 @@ def small_group_fanout(
     fn,
     limit: int | None = None,
     batch_format: str = "pyarrow",
-    whole_bucket: bool = False,
+    whole_bucket: str | bool = False,
 ):
     """``grouped.groupby(key).map_groups(fn)`` without the all-to-all, for
-    driver-bounded inputs.
+    driver-bounded inputs.  ``whole_bucket`` must be a kernel name from
+    :data:`WHOLE_BUCKET_KERNELS` (see :func:`_check_whole_bucket`).
 
     Returns ``(result_dataset_or_None, grouped_maybe_materialized)``: the
     caller falls back to the real groupby (on the returned dataset, which
@@ -332,6 +362,7 @@ def small_group_fanout(
     import ray
     import ray.data as rd
 
+    _check_whole_bucket(whole_bucket)
     if limit is None:
         limit = SMALL_FANOUT_LIMIT  # read at call time: tests patch the module global
     if limit <= 0:
@@ -360,7 +391,7 @@ def group_fanout_table(
     fn,
     batch_format: str = "pyarrow",
     gather: bool = False,
-    whole_bucket: bool = False,
+    whole_bucket: str | bool = False,
 ):
     """The bin/submit half of :func:`small_group_fanout` for a table that is
     already driver-resident (the gated pull above, or the plain-task front
@@ -372,6 +403,7 @@ def group_fanout_table(
     import ray
     import ray.data as rd
 
+    _check_whole_bucket(whole_bucket)
     starts, ends, order = _group_runs(whole, key)
     sizes = ends - starts
     by_size = np.argsort(-sizes, kind="stable")

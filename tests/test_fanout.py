@@ -496,3 +496,87 @@ def test_fanout_gate_rejects_unsizable_hint_without_executing(ray_session):
     out, _ = stages.small_group_fanout(Unsizable(), grouped, "k", _make_sum_by_key())
     assert out is None  # gate failed -> caller takes the streaming groupby
     assert not executed  # and size_bytes was never called on the hint
+
+
+# Every kernel registered in stages.WHOLE_BUCKET_KERNELS must have a named
+# union-safety differential in this module; test_whole_bucket_registry_covered
+# fails when either side of the pairing is missing, so a new kernel cannot
+# opt in to whole-bucket fan-out untested.
+WHOLE_BUCKET_UNION_SAFETY_CASES = {
+    "events_sessionize": "test_whole_bucket_kernels_union_safe",
+    "events_asof_join": "test_whole_bucket_kernels_union_safe",
+    "events_window_stats": "test_whole_bucket_kernels_union_safe",
+    "exact_dedup.keep_first": "test_exact_dedup_keep_first_union_safe",
+}
+
+
+def test_whole_bucket_registry_covered():
+    import sys
+
+    from rogray import stages
+
+    assert set(WHOLE_BUCKET_UNION_SAFETY_CASES) == set(stages.WHOLE_BUCKET_KERNELS), (
+        "WHOLE_BUCKET_KERNELS and the union-safety test cases diverged — "
+        "register the kernel AND add its differential test"
+    )
+    mod = sys.modules[__name__]
+    for kernel, test_name in WHOLE_BUCKET_UNION_SAFETY_CASES.items():
+        assert hasattr(mod, test_name), f"{kernel}: named test {test_name} missing"
+
+
+def test_whole_bucket_requires_registered_name(ray_session):
+    import pytest
+
+    from rogray import stages
+
+    tbl = pa.table({"k": pa.array([1, 1, 2], pa.int64()), "v": pa.array([1, 2, 3], pa.int64())})
+    ident = lambda g: g  # noqa: E731
+    with pytest.raises(ValueError, match="WHOLE_BUCKET_KERNELS"):
+        stages.group_fanout_table(tbl, "k", ident, batch_format="pandas", whole_bucket=True)
+    with pytest.raises(ValueError, match="WHOLE_BUCKET_KERNELS"):
+        stages.group_fanout_table(
+            tbl, "k", ident, batch_format="pandas", whole_bucket="never_registered"
+        )
+
+
+def test_exact_dedup_keep_first_union_safe(ray_session):
+    """fn(union of disjoint-h groups) == concat(per-group fn) for the
+    exact-dedup keeper — valid because identical texts always share h, so
+    the global drop_duplicates can never cancel across h groups."""
+    import zlib
+
+    rng = np.random.default_rng(11)
+    texts = [f"document body {i % 7}" for i in range(60)]  # heavy duplicates
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:03d}" for i in rng.permutation(60)],
+            "text": texts,
+        }
+    )
+    df["h"] = [zlib.crc32(t.encode()) for t in df["text"]]
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values("doc_id").drop_duplicates(subset=["text"], keep="first")
+        return out[["doc_id"]]
+
+    whole = keep_first(df).sort_values("doc_id").reset_index(drop=True)
+    per_group = (
+        pd.concat([keep_first(g) for _, g in df.groupby("h")])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(whole, per_group)
+
+    # and through the real fan-out machinery: whole-bucket == per-group
+    from rogray import stages
+
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    wb = stages.group_fanout_table(
+        tbl, "h", keep_first, batch_format="pandas",
+        whole_bucket="exact_dedup.keep_first",
+    )
+    pg = stages.group_fanout_table(tbl, "h", keep_first, batch_format="pandas")
+    a = wb.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = pg.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, whole)
