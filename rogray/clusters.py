@@ -102,11 +102,7 @@ def duplicate_clusters(ds, threshold: float = 0.5, rounds: int = 64,
         )
     )
     seed = edges_ds.map_batches(init_labels, batch_format="pyarrow")
-    labels, seed = stages.small_group_fanout(
-        edges_ds, seed, "b", init_min, batch_format="pandas"
-    )
-    if labels is None:
-        labels = seed.groupby("b").map_groups(init_min, batch_format="pandas")
+    labels = stages.gated_groupby(edges_ds, seed, "b", init_min, batch_format="pandas")
     labels = labels.materialize()
 
     def _label_fingerprint(lds) -> int:
@@ -171,25 +167,17 @@ def duplicate_clusters(ds, threshold: float = 0.5, rounds: int = 64,
         tagged = labels.map_batches(msgs, batch_format="pyarrow").union(
             edges_ds.map_batches(edge_rows, batch_format="pyarrow")
         )
-        combined, tagged = stages.small_group_fanout(
+        combined = stages.gated_groupby(
             [labels, edges_ds], tagged, "b", propagate, batch_format="pandas"
         )
-        if combined is None:
-            combined = tagged.groupby("b").map_groups(
-                propagate, batch_format="pandas"
-            )
 
         # messages may target nodes in other buckets: one more min-combine
         def reduce_labels(g: pd.DataFrame) -> pd.DataFrame:
             return g.groupby("node", as_index=False).agg(b=("b", "first"), lbl=("lbl", "min"))[["b", "node", "lbl"]]
 
-        reduced, combined = stages.small_group_fanout(
+        reduced = stages.gated_groupby(
             None, combined, "b", reduce_labels, batch_format="pandas"
         )
-        if reduced is None:
-            reduced = combined.groupby("b").map_groups(
-                reduce_labels, batch_format="pandas"
-            )
         labels = reduced.materialize()
 
         fp = _label_fingerprint(labels)

@@ -106,18 +106,9 @@ def tfidf_top_terms(ds, k: int = 5):
         return g[["doc_id", "term", "tf", "df", "score_x1000", "rnk"]]
 
     terms = tf_ds.map_batches(tag_term, batch_format="pyarrow")
-    withdf, terms = stages.small_group_fanout(
-        None, terms, "hb", attach_df, batch_format="pandas"
-    )
-    if withdf is None:
-        withdf = terms.groupby("hb").map_groups(attach_df, batch_format="pandas")
+    withdf = stages.gated_groupby(None, terms, "hb", attach_df, batch_format="pandas")
     docs = withdf.map_batches(tag_doc, batch_format="pyarrow")
-    out, docs = stages.small_group_fanout(
-        None, docs, "db", topk, batch_format="pandas"
-    )
-    if out is not None:
-        return out
-    return docs.groupby("db").map_groups(topk, batch_format="pandas")
+    return stages.gated_groupby(None, docs, "db", topk, batch_format="pandas")
 
 
 def tfidf_sql(k: int = 5) -> str:
@@ -228,13 +219,7 @@ def source_distinct_terms(ds):
         )
 
     rowed = ds.map_batches(rows, batch_format="pyarrow")
-    sliced, rowed = stages.small_group_fanout(
-        ds, rowed, "hb", count_slice, batch_format="pandas"
-    )
-    if sliced is None:
-        sliced = rowed.groupby("hb").map_groups(
-            count_slice, batch_format="pandas"
-        )
+    sliced = stages.gated_groupby(ds, rowed, "hb", count_slice, batch_format="pandas")
     agg = sliced.groupby("source").sum("n_part")
 
     def rename(t: pa.Table) -> pa.Table:
@@ -329,18 +314,9 @@ def unigram_logprob(ds):
         )
 
     terms = tf_ds.map_batches(tag_term, batch_format="pyarrow")
-    contribd, terms = stages.small_group_fanout(
-        None, terms, "hb", contrib, batch_format="pandas"
-    )
-    if contribd is None:
-        contribd = terms.groupby("hb").map_groups(contrib, batch_format="pandas")
+    contribd = stages.gated_groupby(None, terms, "hb", contrib, batch_format="pandas")
     docs = contribd.map_batches(tag_doc, batch_format="pyarrow")
-    out, docs = stages.small_group_fanout(
-        None, docs, "db", reduce_doc, batch_format="pandas"
-    )
-    if out is not None:
-        return out
-    return docs.groupby("db").map_groups(reduce_doc, batch_format="pandas")
+    return stages.gated_groupby(None, docs, "db", reduce_doc, batch_format="pandas")
 
 
 def unigram_logprob_sql() -> str:
@@ -426,12 +402,7 @@ def source_distinct_terms_hll(ds):
         )
 
     part = ds.map_batches(partial, batch_format="pyarrow")
-    out, part = stages.small_group_fanout(
-        None, part, "source", merge, batch_format="pandas"
-    )
-    if out is not None:
-        return out
-    return part.groupby("source").map_groups(merge, batch_format="pandas")
+    return stages.gated_groupby(None, part, "source", merge, batch_format="pandas")
 
 
 def bigram_pmi(ds, k: int = 50, min_count: int = 5):
@@ -568,12 +539,7 @@ def bigram_pmi(ds, k: int = 50, min_count: int = 5):
         tagged = cur.map_batches(tag_bi, batch_format="pyarrow").union(
             uni_ds.map_batches(tag_uni, batch_format="pyarrow")
         )
-        out, tagged = stages.small_group_fanout(
-            None, tagged, "wb", merge, batch_format="pandas"
-        )
-        if out is not None:
-            return out
-        return tagged.groupby("wb").map_groups(merge, batch_format="pandas")
+        return stages.gated_groupby(None, tagged, "wb", merge, batch_format="pandas")
 
     cur = _attach(bi_ds, "w1", "c_a")
     cur = _attach(cur, "w2", "c_b")
@@ -675,11 +641,7 @@ def inverted_index_stats(ds, min_df: int = 2, top_docs: int = 3):
     tagged = ds.map_batches(_tf_rows, batch_format="pyarrow").map_batches(
         tag, batch_format="pyarrow"
     )
-    out, tagged = stages.small_group_fanout(
-        ds, tagged, "tb", fn, batch_format="pandas"
-    )
-    if out is None:
-        out = tagged.groupby("tb").map_groups(fn, batch_format="pandas")
+    out = stages.gated_groupby(ds, tagged, "tb", fn, batch_format="pandas")
     return out.sort("term")
 
 

@@ -107,12 +107,9 @@ def exact_dedup(ds, col: str = "text"):
             if out is not None:
                 return out
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    out, hashed = stages.small_group_fanout(
+    return stages.gated_groupby(
         ds, hashed, "h", keep_first, batch_format="pandas", whole_bucket="exact_dedup.keep_first"
     )
-    if out is not None:
-        return out
-    return hashed.groupby("h").map_groups(keep_first, batch_format="pandas")
 
 
 def exact_dedup_sql() -> str:
@@ -180,12 +177,7 @@ def _dedup_pairs(pairs_ds, n_buckets: int = 199, hint=None):
         return g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["pb"])
 
     tagged = pairs_ds.map_batches(tag, batch_format="pyarrow")
-    out, tagged = stages.small_group_fanout(
-        hint, tagged, "pb", drop, batch_format="pandas"
-    )
-    if out is not None:
-        return out
-    return tagged.groupby("pb").map_groups(drop, batch_format="pandas")
+    return stages.gated_groupby(hint, tagged, "pb", drop, batch_format="pandas")
 
 
 
@@ -304,11 +296,9 @@ def minhash_lsh_pairs(ds, col: str = "text", jaccard_threshold: float = 0.8):
         )
     else:
         banded = sigs_ds.map_batches(band_rows, batch_format="pyarrow")
-        bp, banded = stages.small_group_fanout(
+        bp = stages.gated_groupby(
             sigs_ds, banded, "gb", band_pairs, batch_format="pandas"
         )
-        if bp is None:
-            bp = banded.groupby("gb").map_groups(band_pairs, batch_format="pandas")
         cand = _dedup_pairs(bp, n_buckets=nb, hint=sigs_ds)
         withAB = _attach_pair_blobs(cand, sigs_ds, id_type, blob_col="sig",
                                     n_buckets=nb)
@@ -481,20 +471,11 @@ def simhash_pairs(ds, col: str = "text", max_hamming: int = 3):
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
 
     rowed = ds.map_batches(rows, batch_format="pyarrow")
-    cand, rowed = stages.small_group_fanout(
-        ds, rowed, ["blk", "key"], pairs, batch_format="pandas"
-    )
-    if cand is None:
-        cand = rowed.groupby(["blk", "key"]).map_groups(
-            pairs, batch_format="pandas"
-        )
+    cand = stages.gated_groupby(ds, rowed, ["blk", "key"], pairs, batch_format="pandas")
     head1 = lambda g: g.head(1)  # noqa: E731
-    out, cand = stages.small_group_fanout(
+    return stages.gated_groupby(
         ds, cand, ["id_a", "id_b"], head1, batch_format="pandas"
     )
-    if out is not None:
-        return out
-    return cand.groupby(["id_a", "id_b"]).map_groups(head1, batch_format="pandas")
 
 
 def simhash_pairs_sql(max_hamming: int = 3) -> str:
@@ -582,12 +563,7 @@ def embedding_neardup_exact(ds, threshold: float = 0.4, n_blocks: int = 8):
         )
 
     rowed = ds.map_batches(rows, batch_format="pyarrow")
-    out, rowed = stages.small_group_fanout(
-        ds, rowed, "pair", pairs, batch_format="pandas"
-    )
-    if out is not None:
-        return out
-    return rowed.groupby("pair").map_groups(pairs, batch_format="pandas")
+    return stages.gated_groupby(ds, rowed, "pair", pairs, batch_format="pandas")
 
 
 _EMB_BANDS = 4
@@ -661,13 +637,9 @@ def embedding_neardup_pairs(ds, threshold: float = 0.4):
         )
 
     rowed = ds.map_batches(rows, batch_format="pyarrow")
-    cand, rowed = stages.small_group_fanout(
+    cand = stages.gated_groupby(
         ds, rowed, ["band", "key"], pairs, batch_format="pandas"
     )
-    if cand is None:
-        cand = rowed.groupby(["band", "key"]).map_groups(
-            pairs, batch_format="pandas"
-        )
     # cross-band dedup: sim_x1000 is identical for every band's copy of a
     # pair (same two float64 vectors -> same BLAS dot), so keeping an
     # arbitrary first per (id_a, id_b) bucket is deterministic
@@ -1199,13 +1171,9 @@ def ngram_jaccard_pairs(ds, col: str = "text", n: int = 3, threshold: float = 0.
         prefixed = grams_ds.map_batches(
             prefix_rows, batch_format="pyarrow"
         ).map_batches(add_bucket, batch_format="pyarrow")
-        cands, prefixed = stages.small_group_fanout(
+        cands = stages.gated_groupby(
             grams_ds, prefixed, "gb", candidates, batch_format="pandas"
         )
-        if cands is None:
-            cands = prefixed.groupby("gb").map_groups(
-                candidates, batch_format="pandas"
-            )
         cand = _dedup_pairs(cands, n_buckets=nb, hint=grams_ds)
         withAB = _attach_pair_blobs(cand, grams_ds,
                                     grams_schema.field("doc_id").type,
@@ -1342,17 +1310,8 @@ def substring_dedup_pairs(ds, gram_len: int = 50, max_df: int = 100,
         return out[["id_a", "id_b", "n_shared"]]
 
     grams = ds.map_batches(gram_rows, batch_format="pyarrow")
-    gp, grams = stages.small_group_fanout(
-        ds, grams, "gb", gram_pairs, batch_format="pandas"
-    )
-    if gp is None:
-        gp = grams.groupby("gb").map_groups(gram_pairs, batch_format="pandas")
-    out, gp = stages.small_group_fanout(
-        ds, gp, "pb", count_shared, batch_format="pandas"
-    )
-    if out is not None:
-        return out
-    return gp.groupby("pb").map_groups(count_shared, batch_format="pandas")
+    gp = stages.gated_groupby(ds, grams, "gb", gram_pairs, batch_format="pandas")
+    return stages.gated_groupby(ds, gp, "pb", count_shared, batch_format="pandas")
 
 
 def substring_dedup_sql(gram_len: int = 50, max_df: int = 100) -> str:

@@ -135,12 +135,7 @@ def bucket_join(
     tagged = left_ds.map_batches(_tagger(left_on, False), batch_format="pyarrow").union(
         right_ds.map_batches(_tagger(right_on, True), batch_format="pyarrow")
     )
-    out, tagged = stages.small_group_fanout(
-        [left_ds, right_ds], tagged, "bkt", join_bucket
-    )
-    if out is not None:
-        return out
-    return tagged.groupby("bkt").map_groups(join_bucket, batch_format="pyarrow")
+    return stages.gated_groupby([left_ds, right_ds], tagged, "bkt", join_bucket)
 
 # ---------------------------------------------------------------------------
 # join-heavy pipelines with exact DuckDB oracles (TPC-H Q3/Q4/Q10 shapes)

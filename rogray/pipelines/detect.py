@@ -108,10 +108,7 @@ def find_overlap_gap(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | N
     routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
     # small inputs skip the tile all-to-all (stages.small_group_fanout
     # rationale); big inputs run the hash shuffle unchanged
-    out, routed = stages.small_group_fanout(ds, routed, "tile", worker)
-    if out is not None:
-        return out
-    return routed.groupby("tile").map_groups(worker, batch_format="pyarrow")
+    return stages.gated_groupby(ds, routed, "tile", worker)
 
 
 def _clip_seg_to_tile(
@@ -220,10 +217,7 @@ def coverage_depth(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | Non
             return tile_apply(whole, worker)
     unwrapped = ds.map_batches(stages.Unwrap(plan.grid), batch_format="pyarrow")
     routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
-    out, routed = stages.small_group_fanout(ds, routed, "tile", worker)
-    if out is not None:
-        return out
-    return routed.groupby("tile").map_groups(worker, batch_format="pyarrow")
+    return stages.gated_groupby(ds, routed, "tile", worker)
 
 
 class TileEdges:
@@ -412,7 +406,4 @@ def extract_edges(ds, cfg: ResolveConfig | None = None, plan: ResolvePlan | None
             return tile_apply(whole, worker)
     unwrapped = ds.map_batches(stages.Unwrap(plan.grid), batch_format="pyarrow")
     routed = unwrapped.map_batches(stages.Route(plan.cut), batch_format="pyarrow")
-    out, routed = stages.small_group_fanout(ds, routed, "tile", worker)
-    if out is not None:
-        return out
-    return routed.groupby("tile").map_groups(worker, batch_format="pyarrow")
+    return stages.gated_groupby(ds, routed, "tile", worker)

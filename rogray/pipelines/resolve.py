@@ -155,9 +155,7 @@ def stitched_faces(
         # (all state is per tile group), and task pools release CPUs the
         # moment the dataset finishes - actor pools were observed pinning
         # CPUs after execution, starving later pipelines in the same session
-        faces, routed = stages.small_group_fanout(ds, routed, "tile", overlay)
-        if faces is None:
-            faces = routed.groupby("tile").map_groups(overlay, batch_format="pyarrow")
+        faces = stages.gated_groupby(ds, routed, "tile", overlay)
     return _stitch_levels(faces, _mid_level(coarse_level), as_parts=as_parts)
 
 
@@ -908,9 +906,7 @@ def resolve_overlap_gap_resumable(
         grid, t.utm, cfg.clean.min_area_to_keep, coarse_level, out_dir, fp,
         clean=cfg.clean,
     )
-    pending, routed = stages.small_group_fanout(ds, routed, "tile", writer)
-    if pending is None:
-        pending = routed.groupby("tile").map_groups(writer, batch_format="pyarrow")
+    pending = stages.gated_groupby(ds, routed, "tile", writer)
     pending.count()  # drive the checkpointing pass
 
     faces = manifest.read_all(out_dir)
@@ -1138,11 +1134,7 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
         return df[["ua", "ub", "sa", "sb_", "seg_len"]]
 
     segd = base.map_batches(seg_rows, batch_format="pyarrow")
-    edges, segd = stages.small_group_fanout(
-        base, segd, "sb", edge_rows, batch_format="pandas"
-    )
-    if edges is None:
-        edges = segd.groupby("sb").map_groups(edge_rows, batch_format="pandas")
+    edges = stages.gated_groupby(base, segd, "sb", edge_rows, batch_format="pandas")
     edges = edges.materialize()
 
     import zlib as _zlib
@@ -1305,13 +1297,9 @@ def dissolve_small_faces(stitched, grid, utm: bool, min_area: float,
             })
 
         relabeled = edges.map_batches(relabel, batch_format="pyarrow")
-        targets_ds, relabeled = stages.small_group_fanout(
+        targets_ds = stages.gated_groupby(
             edges, relabeled, "tb", choose_targets, batch_format="pandas"
         )
-        if targets_ds is None:
-            targets_ds = relabeled.groupby("tb").map_groups(
-                choose_targets, batch_format="pandas"
-            )
         targets_ds = targets_ds.materialize()
         # ENFORCED driver-pull bound (one row per surviving small face is
         # output-sized on an adversarial everything-is-small layer): over

@@ -374,10 +374,7 @@ def rasterize_faces(faces_ds, grid, zone_col: str = "winner_pk", n_buckets: int 
     runs = faces_ds.map_batches(
         _FacesToRuns(grid, zone_col, n_buckets), batch_format="pyarrow"
     )
-    out, runs = stages.small_group_fanout(faces_ds, runs, "bkt", _merge_runs_bucket)
-    if out is not None:
-        return out
-    return runs.groupby("bkt").map_groups(_merge_runs_bucket, batch_format="pyarrow")
+    return stages.gated_groupby(faces_ds, runs, "bkt", _merge_runs_bucket)
 
 
 _PX_CHUNK = 4_000_000  # max pixels enumerated per vectorized stats pass

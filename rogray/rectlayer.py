@@ -613,10 +613,7 @@ def rect_vectorize_area(sf_dir: str):
             }
         )
 
-    out, runs = stages.small_group_fanout(None, runs, "zone", per_zone)
-    if out is not None:
-        return out
-    return runs.groupby("zone").map_groups(per_zone, batch_format="pyarrow")
+    return stages.gated_groupby(None, runs, "zone", per_zone)
 
 
 def rect_vectorize_area_sql() -> str:

@@ -442,12 +442,9 @@ def events_sessionize(sf_dir: str, gap_seconds: int = 1800):
         )
         return out[["user_id", "session_start_us", "n_events", "sum_value_c"]]
 
-    out, ds = stages.small_group_fanout(
+    return stages.gated_groupby(
         ds, ds, "user_id", sessions, batch_format="pandas", whole_bucket="events_sessionize"
     )
-    if out is not None:
-        return out
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
 def events_sessionize_sql(gap_seconds: int = 1800) -> str:
@@ -486,12 +483,7 @@ def top_parts_per_brand(sf_dir: str, k: int = 3):
         g["rnk"] = np.arange(1, len(g) + 1)
         return g[["p_brand", "p_partkey", "price_c", "rnk"]]
 
-    out, ds = stages.small_group_fanout(
-        ds, ds, "p_brand", topk, batch_format="pandas"
-    )
-    if out is not None:
-        return out
-    return ds.groupby("p_brand").map_groups(topk, batch_format="pandas")
+    return stages.gated_groupby(ds, ds, "p_brand", topk, batch_format="pandas")
 
 
 def top_parts_per_brand_sql(k: int = 3) -> str:
@@ -552,12 +544,9 @@ def events_asof_join(sf_dir: str):
         out["gap_us"] = out["error_t_us"] - out["click_t_us"]
         return out
 
-    out, ds = stages.small_group_fanout(
+    return stages.gated_groupby(
         ds, ds, "user_id", asof, batch_format="pandas", whole_bucket="events_asof_join"
     )
-    if out is not None:
-        return out
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
 
 
 def events_asof_join_sql() -> str:
@@ -636,12 +625,9 @@ def events_window_stats(sf_dir: str, window_seconds: int = 600):
             }
         )
 
-    out, ds = stages.small_group_fanout(
+    return stages.gated_groupby(
         ds, ds, "user_id", win, batch_format="pandas", whole_bucket="events_window_stats"
     )
-    if out is not None:
-        return out
-    return ds.groupby("user_id").map_groups(win, batch_format="pandas")
 
 
 def events_window_stats_sql(window_seconds: int = 600) -> str:
@@ -685,12 +671,7 @@ def orders_price_quantiles(sf_dir: str):
             }
         )
 
-    out, ds = stages.small_group_fanout(
-        ds, ds, "o_orderstatus", quant, batch_format="pandas"
-    )
-    if out is not None:
-        return out
-    return ds.groupby("o_orderstatus").map_groups(quant, batch_format="pandas")
+    return stages.gated_groupby(ds, ds, "o_orderstatus", quant, batch_format="pandas")
 
 
 def orders_price_quantiles_sql() -> str:

@@ -58,12 +58,9 @@ def brute_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10):
     part = ds.map_batches(partial, batch_format="pyarrow")
     # hint=None: the per-block partial top-k is a reduction (Q x k rows
     # per block), bounded regardless of corpus size
-    out, part = stages.small_group_fanout(
+    return stages.gated_groupby(
         None, part, "query_id", reduce_group, batch_format="pandas"
     )
-    if out is not None:
-        return out
-    return part.groupby("query_id").map_groups(reduce_group, batch_format="pandas")
 
 
 def brute_topk_sql(query_ids: list[int], k: int = 10) -> str:
@@ -170,18 +167,7 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10,
         return g[["query_id", "vec_id", "sim_x1000"]]
 
     bucketed = ds.map_batches(bucket, batch_format="pyarrow")
-    scanned, bucketed = stages.small_group_fanout(
-        ds, bucketed, "bucket", scan, batch_format="pandas"
-    )
-    if scanned is None:
-        scanned = bucketed.groupby("bucket").map_groups(
-            scan, batch_format="pandas"
-        )
-    out, scanned = stages.small_group_fanout(
+    scanned = stages.gated_groupby(ds, bucketed, "bucket", scan, batch_format="pandas")
+    return stages.gated_groupby(
         None, scanned, "query_id", reduce_group, batch_format="pandas"
-    )
-    if out is not None:
-        return out
-    return scanned.groupby("query_id").map_groups(
-        reduce_group, batch_format="pandas"
     )

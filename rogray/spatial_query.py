@@ -115,12 +115,7 @@ def point_in_polygon_join(points_ds, polys_docs_ds, cfg: ResolveConfig | None = 
             }
         )
 
-    out, tagged = stages.small_group_fanout(
-        [polys_docs_ds, points_ds], tagged, "tile", per_tile
-    )
-    if out is not None:
-        return out
-    return tagged.groupby("tile").map_groups(per_tile, batch_format="pyarrow")
+    return stages.gated_groupby([polys_docs_ds, points_ds], tagged, "tile", per_tile)
 
 
 def knn_points(points_ds, k: int = 5, radius: float = 0.1,
@@ -253,10 +248,7 @@ def knn_points(points_ds, k: int = 5, radius: float = 0.1,
         return pa.concat_tables(chunks)
 
     routed = points_ds.map_batches(route, batch_format="pyarrow")
-    out, routed = stages.small_group_fanout(points_ds, routed, "cell", per_cell)
-    if out is not None:
-        return out
-    return routed.groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+    return stages.gated_groupby(points_ds, routed, "cell", per_cell)
 
 
 # fixed frame for the embeddings-derived kNN demo: constants appear
@@ -635,9 +627,7 @@ def layer_intersection_join(docs_a, docs_b, cfg: ResolveConfig | None = None,
 
     both = prep(docs_a, False).union(prep(docs_b, True))
     worker = _TileCrossJoin(grid, cfg.topology.utm)
-    pairs, both = stages.small_group_fanout([docs_a, docs_b], both, "tile", worker)
-    if pairs is None:
-        pairs = both.groupby("tile").map_groups(worker, batch_format="pyarrow")
+    pairs = stages.gated_groupby([docs_a, docs_b], both, "tile", worker)
     return pairs.groupby(["pk_a", "pk_b"]).sum("area")
 
 

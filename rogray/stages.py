@@ -385,6 +385,41 @@ def small_group_fanout(
     return group_fanout_table(whole, key, fn, batch_format, whole_bucket=whole_bucket), grouped
 
 
+def gated_groupby(
+    hint_ds,
+    grouped,
+    key,
+    fn,
+    limit: int | None = None,
+    batch_format: str = "pyarrow",
+    whole_bucket: str | bool = False,
+):
+    """``grouped.groupby(key).map_groups(fn)`` with the driver-bounded
+    fan-out fast path in front — THE canonical dual-path wiring.  Collapses
+    the idiom every gated operator used to hand-write::
+
+        out, g = small_group_fanout(hint, g, key, fn, ...)
+        if out is None:
+            out = g.groupby(key).map_groups(fn, batch_format=...)
+
+    into one call, so the fallback chain cannot drift per call site.  The
+    gate semantics are exactly :func:`small_group_fanout`'s (metadata-only
+    pre-screen via :func:`safe_size_bytes`; at 100 TB the gate never
+    passes and this IS the hash-shuffle groupby)."""
+    out, grouped = small_group_fanout(
+        hint_ds,
+        grouped,
+        key,
+        fn,
+        limit=limit,
+        batch_format=batch_format,
+        whole_bucket=whole_bucket,
+    )
+    if out is not None:
+        return out
+    return grouped.groupby(key).map_groups(fn, batch_format=batch_format)
+
+
 def group_fanout_table(
     whole: pa.Table,
     key,
