@@ -111,3 +111,65 @@ class TestInterchangeReaders:
         assert ls[1][0][0].shape == (3, 2) and ls[1][0][0][2, 0] == -30.0
         assert sources._parse_wkt("POINT (1 2)") is None
         assert sources._parse_wkt("") is None
+
+
+class TestSqlAndLanceReaders:
+    def _write_duckdb(self, tmpdir: str) -> str:
+        """Rectangle layer as a DBAPI-readable DuckDB file: pk + WKB blob +
+        an attribute column — the reference's any-PG-table ingest shape."""
+        import duckdb
+
+        db = os.path.join(tmpdir, "rects.duckdb")
+        con = duckdb.connect(db)
+        con.execute("CREATE TABLE rects (id VARCHAR, geom BLOB, name VARCHAR)")
+        for k, ring in _rect_features(SF):
+            blob = wkb.encode_polygon([np.array(ring[:-1], dtype=np.float64)])
+            con.execute("INSERT INTO rects VALUES (?, ?, ?)", [str(k), blob, f"r{k}"])
+        con.close()
+        return db
+
+    def test_sql_reader_matches_parquet(self, ray_session, tmp_path):
+        """read_sql_docs through a real DBAPI connection (DuckDB stands in
+        for PostgreSQL — same plumbing, different factory) feeds the real
+        detect pipeline identically to the parquet path."""
+        db = self._write_duckdb(str(tmp_path))
+
+        def factory():
+            import duckdb
+
+            return duckdb.connect(db, read_only=True)
+
+        docs = sources.read_sql_docs("rects", connection_factory=factory)
+        assert _overlap_pairs(docs) == _overlap_pairs(rectlayer.rect_docs(SF))
+
+    def test_sql_reader_without_driver_raises_clearly(self):
+        with pytest.raises(RuntimeError, match="psycopg2"):
+            sources.read_sql_docs("t", dsn="postgresql://localhost/x")
+        with pytest.raises(ValueError, match="dsn= or connection_factory="):
+            sources.read_sql_docs("t")
+
+    def test_lance_reader_without_package_raises_clearly(self, ray_session):
+        with pytest.raises((RuntimeError, ImportError), match="lance"):
+            sources.read_lance_docs("/tmp/nonexistent.lance")
+
+    def test_wide_rows_mapper_contract(self):
+        """The shared wide-row mapper (Lance + SQL readers): WKB bytes or
+        hex, None attributes dropped, ids stringified."""
+        blob = wkb.encode_polygon(
+            [np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=np.float64)]
+        )
+        t = pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "geom": pa.array([blob, blob], pa.binary()),
+                "name": pa.array(["a", None], pa.string()),
+            }
+        )
+        out = sources._WideRowsToDocs("id", "geom")(t)
+        assert out["doc_id"].to_pylist() == ["1", "2"]
+        spans0 = out["spans"].to_pylist()[0]
+        kinds = [s["kind"] for s in spans0]
+        assert "geometry" in kinds[0] or any("geometry" in k for k in kinds)
+        assert any(s["kind"] == "attr:name" and s["text"] == "a" for s in spans0)
+        spans1 = out["spans"].to_pylist()[1]
+        assert not any(s["kind"] == "attr:name" for s in spans1)  # None dropped
